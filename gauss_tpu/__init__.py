@@ -1,0 +1,64 @@
+"""gauss_tpu: TPU-native GWAS summary-statistics engine.
+
+A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+statsleelab/gauss (GAUSS, "Genome Analysis Using Summary Statistics"):
+Z-score imputation (dist/distmix), ancestry-weighted LD
+(compute_ld/simulate_ld), ancestry-proportion estimation
+(afmix/cpw2/zmix + prep_zmix family), per-SNP causality tests
+(qcat/qcatmix + preps), gene-level TWAS (jepeg/jepegmix) and winner's-
+curse correction (fiqt).
+
+Design: the reference panel is decoded once into HBM-resident int8
+dosage matrices; every correlation kernel is an MXU matmul over
+integer-exact f32 sufficient statistics with f64 combines; windows and
+genes run data-parallel over a jax.sharding.Mesh with the subject axis
+sharded via psum.
+"""
+
+# float64 combines require x64; set before any JAX computation.
+import jax as _jax
+
+_jax.config.update("jax_enable_x64", True)
+
+from .config import Settings, ComputeOptions, PanelFiles  # noqa: E402
+from .models.dist import dist, distmix  # noqa: E402
+from .models.ld import compute_ld, simulate_ld  # noqa: E402
+
+# reference-style aliases
+computeLD = compute_ld
+simulateLD = simulate_ld
+
+__version__ = "0.1.0"
+
+__all__ = [
+    "Settings", "ComputeOptions", "PanelFiles",
+    "dist", "distmix",
+    "compute_ld", "simulate_ld", "computeLD", "simulateLD",
+]
+
+
+def __getattr__(name):
+    """Lazy exports for the wider API surface (keeps import light)."""
+    lazy = {
+        "afmix": ("gauss_tpu.models.ancestry", "afmix"),
+        "cpw2": ("gauss_tpu.models.ancestry", "cpw2"),
+        "zmix": ("gauss_tpu.models.ancestry", "zmix"),
+        "prep_zmix": ("gauss_tpu.models.ancestry", "prep_zmix"),
+        "prep_zmix2": ("gauss_tpu.models.ancestry", "prep_zmix2"),
+        "prep_zmix3": ("gauss_tpu.models.ancestry", "prep_zmix3"),
+        "prep_zmix4": ("gauss_tpu.models.ancestry", "prep_zmix4"),
+        "prep_zmix5": ("gauss_tpu.models.ancestry", "prep_zmix5"),
+        "prep_zmix5_sup": ("gauss_tpu.models.ancestry", "prep_zmix5_sup"),
+        "qcat": ("gauss_tpu.models.qcat", "qcat"),
+        "qcatmix": ("gauss_tpu.models.qcat", "qcatmix"),
+        "prep_qcat": ("gauss_tpu.models.qcat", "prep_qcat"),
+        "prep_recessive_impute": ("gauss_tpu.models.qcat", "prep_recessive_impute"),
+        "jepeg": ("gauss_tpu.models.jepeg", "jepeg"),
+        "jepegmix": ("gauss_tpu.models.jepeg", "jepegmix"),
+        "fiqt": ("gauss_tpu.models.fiqt", "fiqt"),
+    }
+    if name in lazy:
+        import importlib
+        mod, attr = lazy[name]
+        return getattr(importlib.import_module(mod), attr)
+    raise AttributeError(f"module 'gauss_tpu' has no attribute '{name}'")

@@ -1,0 +1,31 @@
+"""Test configuration: force an 8-device virtual CPU mesh so sharding
+paths are exercised without TPU hardware."""
+import os
+
+# Force CPU for tests even when the session environment points at a TPU
+# (e.g. JAX_PLATFORMS=axon): the suite validates numerics + sharding on a
+# virtual 8-device CPU mesh; TPU runs happen via bench.py.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import numpy as np
+import pytest
+
+import gauss_tpu  # noqa: F401  (enables x64)
+from gauss_tpu.utils import testing as gtest
+
+
+@pytest.fixture(scope="session")
+def synpanel(tmp_path_factory):
+    d = tmp_path_factory.mktemp("panel")
+    return gtest.make_synthetic_panel(str(d), n_snps=300)
+
+
+@pytest.fixture(scope="session")
+def gwas_input(synpanel, tmp_path_factory):
+    d = tmp_path_factory.mktemp("gwas")
+    path = str(d / "zinput.txt")
+    truth = gtest.make_gwas_input(synpanel, path)
+    return path, truth
