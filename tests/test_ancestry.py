@@ -1,0 +1,170 @@
+"""afmix / cpw2 / zmix / prep_zmix family tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import gauss_tpu
+from gauss_tpu.utils import testing as gtest
+from gauss_tpu.utils.qp import solve_simplex_qp
+
+import oracle
+
+TRUE_MIX = {"AAA": 0.35, "BBB": 0.25, "CCC": 0.0, "DDD": 0.15, "EEE": 0.25}
+
+
+@pytest.fixture(scope="module")
+def af_input(synpanel, tmp_path_factory):
+    d = tmp_path_factory.mktemp("af")
+    path = str(d / "afinput.txt")
+    gtest.make_af_input(synpanel, path, pop_mix=TRUE_MIX)
+    return path
+
+
+def test_afmix_recovers_mixture(synpanel, af_input):
+    res = gauss_tpu.afmix(af_input, synpanel.files.index_file,
+                          synpanel.files.data_file,
+                          synpanel.files.pop_desc_file, interval=8)
+    assert set(res.columns) == {"sup.pop", "pop", "wgt"}
+    assert (res["wgt"] > 0).all()
+    # weights rounded half-up to 3 decimals
+    assert np.allclose(res["wgt"] * 1000, np.round(res["wgt"] * 1000))
+    w = dict(zip(res["pop"], res["wgt"]))
+    for p, true_w in TRUE_MIX.items():
+        assert abs(w.get(p, 0.0) - true_w) < 0.12, (p, w)
+
+
+def test_cpw2_recovers_mixture(synpanel, af_input):
+    res = gauss_tpu.cpw2(af_input, synpanel.files.index_file,
+                         synpanel.files.data_file,
+                         synpanel.files.pop_desc_file, interval=8)
+    assert set(res.columns) == {"pop", "wgt"}
+    w = dict(zip(res["pop"], res["wgt"]))
+    for p, true_w in TRUE_MIX.items():
+        assert abs(w.get(p, 0.0) - true_w) < 0.15, (p, w)
+
+
+def test_prep_zmix_pair_structure(synpanel, gwas_input):
+    path, truth = gwas_input
+    mat = gauss_tpu.prep_zmix(path, synpanel.files.index_file,
+                              synpanel.files.data_file,
+                              synpanel.files.pop_desc_file, interval=7)
+    n_meas = len(truth)
+    n_sub = len(range(0, n_meas, 7))
+    assert mat.shape == (n_sub * (n_sub - 1) // 2, 1 + synpanel.desc.num_pops)
+    # first column is the z product of the first subset pair
+    z = truth["z"].to_numpy()  # truth is in panel/bp order == map order
+    sub = z[::7]
+    assert mat[0, 0] == pytest.approx(sub[0] * sub[1], rel=1e-12)
+    # correlation columns within [-1, 1]
+    finite = np.isfinite(mat[:, 1:])
+    assert (np.abs(mat[:, 1:][finite]) <= 1 + 1e-12).all()
+
+
+def test_prep_zmix_corr_matches_oracle(synpanel, gwas_input):
+    path, truth = gwas_input
+    mat = gauss_tpu.prep_zmix(path, synpanel.files.index_file,
+                              synpanel.files.data_file,
+                              synpanel.files.pop_desc_file, interval=29)
+    # recompute pair (0,1) per-pop correlations from fixture genotypes
+    rs2row = {r: i for i, r in enumerate(synpanel.index_df["rsid"])}
+    meas_rows = np.array([rs2row[r] for r in truth["rsid"]])
+    sub = meas_rows[::29]
+    b = np.concatenate([[0], np.cumsum(synpanel.desc.sizes)])
+    for k in range(synpanel.desc.num_pops):
+        gi = synpanel.genotypes[sub[0], b[k]:b[k + 1]]
+        gj = synpanel.genotypes[sub[1], b[k]:b[k + 1]]
+        assert mat[0, 1 + k] == pytest.approx(
+            oracle.cal_cor_single(gi, gj), rel=1e-10)
+
+
+def test_prep_zmix_variants_shapes(synpanel, gwas_input):
+    path, truth = gwas_input
+    P = synpanel.desc.num_pops
+    args = (path, synpanel.files.index_file, synpanel.files.data_file,
+            synpanel.files.pop_desc_file)
+    m2 = gauss_tpu.prep_zmix2(*args, interval=13, offset=3)
+    n = len(truth)
+    n2 = sum(1 for i in range(0, n, 13) if i + 3 < n)
+    assert m2.shape == (n2, 1 + P)
+    m3 = gauss_tpu.prep_zmix3(*args, interval=11, steps=4)
+    nsub = len(range(0, n, 11))
+    n3 = sum(min(4, nsub - i - 1) for i in range(nsub))
+    assert m3.shape == (n3, 1 + P)
+    m4 = gauss_tpu.prep_zmix4(*args, interval=13, offset=3)
+    assert m4.shape[1] == 2 + P
+    assert set(np.unique(m4[:, 0])) <= set(range(13))
+    m5 = gauss_tpu.prep_zmix5(*args, percentile=0.8, interval=2)
+    assert m5.shape[1] == 1 + P
+    m5s = gauss_tpu.prep_zmix5_sup(*args, percentile=0.8, interval=2)
+    assert m5s.shape[1] == 1 + len(synpanel.desc.sup_pop_order())
+
+
+def test_qp_against_scipy():
+    from scipy.optimize import minimize
+    rng = np.random.default_rng(5)
+    for trial in range(10):
+        n = rng.integers(3, 12)
+        A = rng.standard_normal((30, n))
+        D = A.T @ A + 0.05 * np.eye(n)
+        d = rng.standard_normal(n)
+        w = solve_simplex_qp(D, d)
+        assert w.sum() == pytest.approx(1.0, abs=1e-9)
+        assert (w >= -1e-12).all() and (w <= 1 + 1e-12).all()
+        obj = lambda v: 0.5 * v @ D @ v - d @ v
+        ref = minimize(obj, np.full(n, 1 / n), method="SLSQP",
+                       bounds=[(0, 1)] * n,
+                       constraints=[{"type": "eq",
+                                     "fun": lambda v: v.sum() - 1}],
+                       options={"ftol": 1e-14, "maxiter": 500})
+        assert obj(w) <= obj(ref.x) + 1e-9
+
+
+def test_zmix_runs_and_recovers_signal(synpanel, tmp_path):
+    """Generate z with cov = sum_k w_k R_k (the zmix model) and check the
+    QP recovers the dominant populations."""
+    rng = np.random.default_rng(17)
+    desc = synpanel.desc
+    n_all = len(synpanel.index_df)
+    w_true = np.array([0.6, 0.0, 0.0, 0.0, 0.4])
+    b = np.concatenate([[0], np.cumsum(desc.sizes)])
+    R = np.zeros((n_all, n_all))
+    for k in range(desc.num_pops):
+        if w_true[k] == 0:
+            continue
+        Rk = oracle.pooled_corr_matrix(
+            synpanel.genotypes[:, b[k]:b[k + 1]],
+            synpanel.genotypes[:, b[k]:b[k + 1]])
+        # monomorphic SNPs in a population give 0/0; harmless for the
+        # generator, so zero them and keep a unit diagonal
+        Rk = np.nan_to_num(Rk)
+        np.fill_diagonal(Rk, 1.0)
+        R += w_true[k] * Rk
+    ww, vv = np.linalg.eigh(R)
+    R = (vv * np.maximum(ww, 1e-3)) @ vv.T
+    L = np.linalg.cholesky(R)
+    z = L @ rng.standard_normal(n_all)
+
+    path = tmp_path / "zin.txt"
+    with open(path, "w") as fh:
+        fh.write("rsid chr bp a1 a2 z\n")
+        for i, r in synpanel.index_df.iterrows():
+            fh.write(f"{r.rsid} {r.chr} {r.bp} {r.a1} {r.a2} {z[i]:.8f}\n")
+
+    res = gauss_tpu.zmix(str(path), synpanel.files.index_file,
+                         synpanel.files.data_file,
+                         synpanel.files.pop_desc_file,
+                         percentile=0.5, interval=1)
+    assert list(res.columns) == ["Population", "SuperPopulation", "Weight"]
+    assert res["Weight"].sum() == pytest.approx(1.0, abs=1e-6)
+    w = dict(zip(res["Population"], res["Weight"]))
+    # dominant populations should get the bulk of the weight
+    assert w["AAA"] + w["EEE"] > 0.5
+
+    res_sup = gauss_tpu.zmix(str(path), synpanel.files.index_file,
+                             synpanel.files.data_file,
+                             synpanel.files.pop_desc_file,
+                             percentile=0.5, interval=1,
+                             level="superpopulation")
+    assert list(res_sup.columns) == ["SuperPopulation", "Weight"]
+    assert len(res_sup) == len(desc.sup_pop_order())
