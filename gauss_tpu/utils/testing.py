@@ -162,6 +162,44 @@ def make_gwas_input(
     return pd.DataFrame(truth, columns=["rsid", "chr", "bp", "a1", "a2", "z"])
 
 
+def make_annotation(
+    panel: SyntheticPanel,
+    out_path: str,
+    n_genes: int = 6,
+    snps_per_gene: int = 8,
+    swap_frac: float = 0.2,
+    seed: int = 23,
+) -> pd.DataFrame:
+    """Write an annotation file (rsid chr bp a1 a2 geneid categ wgt)
+    assigning consecutive panel SNPs to genes; some rows use swapped
+    alleles to exercise the annotation flip (reference:
+    src/gauss.cpp:1339-1355).  SNPs may carry 1-2 categories."""
+    from ..io.readers import CATEG_NUM
+    rng = np.random.default_rng(seed)
+    categ_names = list(CATEG_NUM)
+    rows = []
+    stride = max(1, len(panel.index_df) // (n_genes * snps_per_gene + 5))
+    i = 0
+    for g in range(n_genes):
+        gene = f"GENE{g:02d}"
+        for s in range(snps_per_gene):
+            r = panel.index_df.iloc[i]
+            swap = rng.random() < swap_frac
+            a1, a2 = (r.a2, r.a1) if swap else (r.a1, r.a2)
+            n_cat = 1 + (rng.random() < 0.3)
+            for c in rng.choice(len(categ_names), size=n_cat, replace=False):
+                rows.append((r.rsid, r.chr, r.bp, a1, a2, gene,
+                             categ_names[c], round(rng.uniform(0.2, 2.0), 3)))
+            i += stride
+    df = pd.DataFrame(rows, columns=["rsid", "chr", "bp", "a1", "a2",
+                                     "geneid", "categ", "wgt"])
+    with open(out_path, "w") as fh:
+        fh.write("rsid chr bp a1 a2 geneid categ wgt\n")
+        for r in df.itertuples(index=False):
+            fh.write(" ".join(str(x) for x in r) + "\n")
+    return df
+
+
 def make_af_input(
     panel: SyntheticPanel,
     out_path: str,

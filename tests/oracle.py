@@ -68,6 +68,73 @@ def pooled_corr_matrix(Ga, Gb):
     return out
 
 
+def run_qcat_oracle(B11_corr, B21_corr, Z1, headwing, num_pred_measured,
+                    lam=0.1, eig_cutoff=0.01):
+    """Literal translation of run_qcat (src/qcat.cpp:134-246)."""
+    M = B11_corr.shape[0]
+    B11 = B11_corr.copy()
+    np.fill_diagonal(B11, 1.0 + lam)
+    w = np.linalg.eigvalsh(B11)
+    num_eig = int(np.sum(~(w < eig_cutoff)))
+    L = np.linalg.cholesky(B11)
+    LInv = np.linalg.inv(L)
+    LInvZ1 = LInv @ Z1
+
+    def corr(a, b):
+        da, db = a - a.mean(), b - b.mean()
+        return (da * db).sum() / np.sqrt((da * da).sum() * (db * db).sum())
+
+    t_meas, c_meas = [], []
+    for i in range(num_pred_measured):
+        b11t = B11[i + headwing, :]
+        r = corr(LInvZ1, LInv @ b11t)
+        t_meas.append(np.sqrt(num_eig - 3) * r)
+        c_meas.append((num_eig - 3) * r * r)
+    t_un, c_un = [], []
+    for i in range(B21_corr.shape[0]):
+        r = corr(LInvZ1, LInv @ B21_corr[i])
+        t_un.append(np.sqrt(num_eig - 3) * r)
+        c_un.append((num_eig - 3) * r * r)
+    return num_eig, np.array(t_meas), np.array(c_meas), \
+        np.array(t_un), np.array(c_un)
+
+
+def jepeg_gene_oracle(CorG_noridge, z, info, categ_wgt, categ_present,
+                      lam=0.1, min_abs_eig=1e-5, cor_cutoff=0.8,
+                      denorm=3):
+    """Literal translation of CalJepegPval (src/gene.cpp:288-550).
+    Returns (chisq, df) or (None, 0) when all categories prune away."""
+    counts = categ_present.sum(axis=0)
+    present = np.flatnonzero(counts > 0)
+    k = len(present)
+    CorG = CorG_noridge.copy()
+    np.fill_diagonal(CorG, 1.0 + lam)
+    W = (categ_wgt[:, present] * np.sqrt(info)[:, None]).T
+    WWt = W @ W.T
+    CovU = W @ CorG @ W.T
+    dstd = np.sqrt(np.diag(CovU))
+    CorU = CovU / np.outer(dstd, dstd)
+    U = W @ z
+    rmv = np.zeros(k, dtype=bool)
+    for j in range(k - 1, 0, -1):
+        for i in range(j):
+            if abs(CorU[i, j]) > cor_cutoff:
+                rmv[j] = True
+                break
+    for i in range(k):
+        if CovU[i, i] < WWt[i, i] / denorm:
+            rmv[i] = True
+    df = int(k - rmv.sum())
+    if df == 0:
+        return None, 0
+    X = U[~rmv]
+    CovX = CovU[np.ix_(~rmv, ~rmv)]
+    w, v = np.linalg.eigh(CovX)
+    if w.min() < min_abs_eig:
+        CovX = (v * np.maximum(w, min_abs_eig)) @ v.T
+    return float(X @ np.linalg.inv(CovX) @ X), df
+
+
 def run_dist_oracle(B11_corr, B21_corr, Z1, lam=0.1, min_abs_eig=1e-5):
     """Literal translation of run_dist's imputation loop
     (src/dist.cpp:156-210): MakePosDef + full inverse + per-SNP matvecs."""
