@@ -1,0 +1,92 @@
+"""Device-mesh parallelism for windowed analyses.
+
+The reference has no parallelism at all (single-threaded C++ loops;
+SURVEY.md section 2.3) -- this layer is new design.  Two mesh axes:
+
+* ``window``: prediction windows are fully independent given the panel
+  (reference proof: each call reloads everything and touches only its
+  window's SNPs, src/dist.cpp:129-141) -> pure data parallelism.
+* ``subject``: every statistic is a sum over the subject axis, so the
+  panel shards by subject chunks (each shard holds an equal slice of
+  EVERY population segment) and partial (S, Q, C) statistics combine
+  with a single psum over ICI.  Zero-padded subject columns contribute
+  exactly zero to all statistics, so padding for divisibility is exact.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core import stats
+from ..ops.window_kernel import WindowKernelSpec, pad_pop_segments, window_impute
+
+
+def make_mesh(n_window: int, n_subject: int,
+              devices: Optional[Sequence] = None) -> Mesh:
+    devices = list(jax.devices()) if devices is None else list(devices)
+    need = n_window * n_subject
+    if len(devices) < need:
+        raise ValueError(f"need {need} devices, have {len(devices)}")
+    arr = np.array(devices[:need]).reshape(n_window, n_subject)
+    return Mesh(arr, axis_names=("window", "subject"))
+
+
+def subject_shard_layout(G: np.ndarray, pop_sizes: Sequence[int],
+                         n_shards: int) -> Tuple[np.ndarray, Tuple[int, ...], Tuple[int, ...]]:
+    """Reorder + pad the subject axis so a contiguous split into
+    ``n_shards`` gives every shard an equal slice of every population.
+
+    Returns (G_layout, padded_pop_sizes_global, local_pop_sizes).
+    Shard s's block is [for each pop k: segment_k[s*loc_k:(s+1)*loc_k]].
+    """
+    Gp, padded = pad_pop_segments(G, pop_sizes, multiple=n_shards)
+    bounds = stats.segment_bounds(padded)
+    locs = tuple(p // n_shards for p in padded)
+    blocks = []
+    for s in range(n_shards):
+        for k in range(len(padded)):
+            st = int(bounds[k]) + s * locs[k]
+            blocks.append(Gp[..., st:st + locs[k]])
+    return np.concatenate(blocks, axis=-1), padded, locs
+
+
+def sharded_window_impute(
+    mesh: Mesh,
+    Gm: np.ndarray,            # [W, Mp, S_layout] int8 (subject-shard layout)
+    Gu: np.ndarray,            # [W, Up, S_layout]
+    Z1: np.ndarray,            # [W, Mp]
+    m_mask: np.ndarray,
+    u_mask: np.ndarray,
+    true_pop_sizes: Sequence[int],
+    local_pop_sizes: Sequence[int],
+    wgts: Optional[Sequence[float]],
+    lam: float = 0.1,
+    min_abs_eig: float = 1e-5,
+    exact: bool = True,
+):
+    """Run the batched window-imputation kernel over a (window, subject)
+    mesh.  W must divide by the window-axis size; the subject axis of
+    Gm/Gu must already be in subject_shard_layout order."""
+    spec = WindowKernelSpec(
+        pop_sizes=tuple(int(x) for x in true_pop_sizes),
+        pop_sizes_padded=tuple(int(x) for x in local_pop_sizes),
+        wgts=tuple(float(x) for x in wgts) if wgts is not None else None,
+        lam=lam, min_abs_eig=min_abs_eig, exact=exact,
+    )
+    fn = partial(window_impute, spec=spec, axis_name="subject")
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("window", None, "subject"), P("window", None, "subject"),
+                  P("window", None), P("window", None), P("window", None)),
+        out_specs=(P("window", None), P("window", None)),
+    )
+    jfn = jax.jit(sharded)
+    return jfn(jnp.asarray(Gm), jnp.asarray(Gu), jnp.asarray(Z1),
+               jnp.asarray(m_mask), jnp.asarray(u_mask))

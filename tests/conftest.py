@@ -1,14 +1,22 @@
 """Test configuration: force an 8-device virtual CPU mesh so sharding
-paths are exercised without TPU hardware."""
+paths are exercised without TPU hardware.
+
+The container's sitecustomize registers the axon TPU backend and sets
+``jax.config.jax_platforms = "axon,cpu"`` (which overrides the
+JAX_PLATFORMS env var), so we set the config back to cpu here -- before
+any backend is initialized -- and request 8 virtual host devices.
+"""
+
 import os
 
-# Force CPU for tests even when the session environment points at a TPU
-# (e.g. JAX_PLATFORMS=axon): the suite validates numerics + sharding on a
-# virtual 8-device CPU mesh; TPU runs happen via bench.py.
-os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

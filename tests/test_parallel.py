@@ -1,0 +1,115 @@
+"""Fused window kernel + multi-chip sharding tests (8 virtual CPU devices)."""
+
+import numpy as np
+import pytest
+import jax
+
+import gauss_tpu  # noqa: F401
+from gauss_tpu.ops.window_kernel import (WindowKernelSpec,
+                                         build_window_kernel,
+                                         pad_pop_segments)
+from gauss_tpu.parallel.mesh import (make_mesh, sharded_window_impute,
+                                     subject_shard_layout)
+
+import oracle
+
+POP_SIZES = (13, 21, 9)
+WGTS = (0.4, 0.35, 0.25)
+
+
+def _toy(n_windows=2, M=20, U=12, seed=3):
+    rng = np.random.default_rng(seed)
+    S = sum(POP_SIZES)
+    Gm = rng.integers(0, 3, size=(n_windows, M, S), dtype=np.int8)
+    Gu = rng.integers(0, 3, size=(n_windows, U, S), dtype=np.int8)
+    Z1 = rng.standard_normal((n_windows, M))
+    m_mask = np.ones((n_windows, M), dtype=np.float32)
+    u_mask = np.ones((n_windows, U), dtype=np.float32)
+    m_mask[:, -2:] = 0
+    u_mask[:, -1:] = 0
+    Gm[:, -2:] = 0
+    Gu[:, -1:] = 0
+    Z1[:, -2:] = 0
+    return Gm, Gu, Z1, m_mask, u_mask
+
+
+def test_window_kernel_matches_host_oracle():
+    Gm, Gu, Z1, m_mask, u_mask = _toy()
+    spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
+                            wgts=WGTS, exact=True)
+    z, info = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
+    z, info = np.asarray(z), np.asarray(info)
+    for w in range(Gm.shape[0]):
+        Mr = int(m_mask[w].sum())
+        Ur = int(u_mask[w].sum())
+        B11 = oracle.weighted_corr_matrix(Gm[w, :Mr], Gm[w, :Mr],
+                                          POP_SIZES, WGTS)
+        B21 = oracle.weighted_corr_matrix(Gu[w, :Ur], Gm[w, :Mr],
+                                          POP_SIZES, WGTS)
+        ze, ie = oracle.run_dist_oracle(B11, B21, Z1[w, :Mr])
+        # device kernel does f32 linalg: modest tolerance
+        np.testing.assert_allclose(z[w, :Ur], ze, rtol=2e-3, atol=2e-4)
+        np.testing.assert_allclose(info[w, :Ur], ie, rtol=2e-3, atol=2e-4)
+
+
+def test_window_kernel_unweighted():
+    Gm, Gu, Z1, m_mask, u_mask = _toy(seed=5)
+    spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
+                            wgts=None, exact=True)
+    z, info = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
+    z = np.asarray(z)
+    for w in range(Gm.shape[0]):
+        Mr = int(m_mask[w].sum())
+        Ur = int(u_mask[w].sum())
+        B11 = oracle.pooled_corr_matrix(Gm[w, :Mr], Gm[w, :Mr])
+        B21 = oracle.pooled_corr_matrix(Gu[w, :Ur], Gm[w, :Mr])
+        ze, _ = oracle.run_dist_oracle(B11, B21, Z1[w, :Mr])
+        np.testing.assert_allclose(z[w, :Ur], ze, rtol=2e-3, atol=2e-4)
+
+
+def test_subject_padding_is_exact():
+    """Zero subject columns must change nothing (true pop sizes used)."""
+    Gm, Gu, Z1, m_mask, u_mask = _toy(seed=7)
+    spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
+                            wgts=WGTS, exact=True)
+    z0, _ = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
+
+    Gm_p, padded = pad_pop_segments(Gm, POP_SIZES, multiple=8)
+    Gu_p, _ = pad_pop_segments(Gu, POP_SIZES, multiple=8)
+    spec_p = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=padded,
+                              wgts=WGTS, exact=True)
+    z1, _ = build_window_kernel(spec_p)(Gm_p, Gu_p, Z1, m_mask, u_mask)
+    np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
+                               rtol=1e-6, atol=1e-7)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_matches_single_device():
+    n_win, n_sub = 2, 4
+    mesh = make_mesh(n_win, n_sub)
+    Gm, Gu, Z1, m_mask, u_mask = _toy(n_windows=4, seed=11)
+    Gm_l, padded, locs = subject_shard_layout(Gm, POP_SIZES, n_sub)
+    Gu_l, _, _ = subject_shard_layout(Gu, POP_SIZES, n_sub)
+    z, info = sharded_window_impute(
+        mesh, Gm_l, Gu_l, Z1, m_mask, u_mask,
+        true_pop_sizes=POP_SIZES, local_pop_sizes=locs, wgts=WGTS)
+    spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
+                            wgts=WGTS, exact=True)
+    z1, info1 = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
+    real = u_mask > 0
+    np.testing.assert_allclose(np.asarray(z)[real], np.asarray(z1)[real],
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(info)[real],
+                               np.asarray(info1)[real],
+                               rtol=5e-4, atol=5e-5)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_graft_entry_dryrun():
+    import sys
+    sys.path.insert(0, ".")
+    import __graft_entry__ as ge
+    fn, args = ge.entry()
+    z, info = fn(*args)
+    assert np.isfinite(np.asarray(z)[:, :-2]).all()
+    ge.dryrun_multichip(8)
