@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Benchmark: distmix genome-window imputation throughput on one chip.
+
+Workload (matching BASELINE.json's driver metric): cosmopolitan distmix
+imputation over a 33KG-shaped synthetic panel (29 populations, 32,953
+subjects -- the real reference panel's dimensions) on a chr22-like
+region, reporting imputed SNPs per second per chip.
+
+The "baseline" is the reference implementation's single-thread scalar
+algorithm (GAUSS has no published numbers; BASELINE.json published={}),
+measured here by timing the literal CalWgtCov scalar loop on a sample of
+pairs and pricing the reference's exact operation count
+(M*(M-1)/2 + M + U + U*M weighted covariances per window,
+src/distmix.cpp:179-236) at that rate.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
+Extra diagnostics go to stderr.
+"""
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+N_SNPS = int(os.environ.get("GAUSS_BENCH_SNPS", 24000))
+MEASURED_FRAC = 0.4
+WINDOW_BP = 1_000_000
+WING_BP = 500_000
+CACHE = os.environ.get("GAUSS_BENCH_CACHE",
+                       os.path.expanduser("~/.cache/gauss_tpu_bench"))
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t0 = time.time()
+    import jax
+
+    import gauss_tpu  # noqa: F401 (x64)
+    from gauss_tpu.models.genome import GenomeEngine
+    from gauss_tpu.utils.benchdata import cached_panel, make_bench_input
+
+    dev = jax.devices()[0]
+    log(f"[bench] device: {dev}")
+
+    os.makedirs(CACHE, exist_ok=True)
+    t = time.time()
+    store = cached_panel(CACHE, N_SNPS, verbose=True)
+    log(f"[bench] panel ready: {store.G.shape[0]} SNPs x "
+        f"{store.G.shape[1]} subjects ({time.time()-t:.1f}s)")
+
+    inp = make_bench_input(store, MEASURED_FRAC)
+    pop_wgt = {p: 1.0 / store.desc.num_pops for p in store.desc.pops}
+
+    lo = int(store.index["bp"].min())
+    hi = int(store.index["bp"].max())
+
+    engine = GenomeEngine(store, snp_bucket=256, device_linalg=False)
+    run = engine.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    log(f"[bench] prepared: {len(run.table)} SNPs in table")
+
+    # warmup: compile kernels on the first window
+    t = time.time()
+    w0 = run.impute_window(lo, lo + WINDOW_BP - 1, WING_BP)
+    log(f"[bench] warmup window: M={w0.n_measured} U={w0.n_unmeasured} "
+        f"({time.time()-t:.1f}s incl. compile)")
+
+    # timed full region
+    t = time.time()
+    res = run.impute_region(lo, hi, window_bp=WINDOW_BP, wing_size=WING_BP)
+    elapsed = time.time() - t
+    n_imputed = int((res["type"] == 0).sum())
+    rate = n_imputed / elapsed
+    log(f"[bench] imputed {n_imputed} SNPs in {elapsed:.2f}s "
+        f"-> {rate:.1f} SNPs/s/chip")
+
+    # accuracy cross-check: fused device-linalg path vs host f64 path
+    eng_d = GenomeEngine(store, snp_bucket=256, device_linalg=True)
+    run_d = eng_d.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    a = w0.table
+    b = run_d.impute_window(lo, lo + WINDOW_BP - 1, WING_BP).table
+    imp = a["type"].to_numpy() == 0
+    max_dz = float(np.abs(a["z"].to_numpy()[imp] - b["z"].to_numpy()[imp]).max())
+    log(f"[bench] fused-vs-host max|dZ| = {max_dz:.2e}")
+
+    # reference-style scalar baseline estimate
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    import oracle
+    sizes = list(run.pop_sizes)
+    wgts = list(run.wgts)
+    Gs = store.G[:50, run.subj_cols]
+    t = time.time()
+    n_pairs = 0
+    for i in range(10):
+        for j in range(i + 1, 10):
+            oracle.cal_wgt_cov(Gs[i], Gs[j], sizes, wgts)
+            n_pairs += 1
+    t_pair = (time.time() - t) / n_pairs
+    # operation count of the reference per window over the same region
+    total_pairs = 0
+    pos = lo
+    bp = run.table["bp"].to_numpy()
+    typ = run.table["type"].to_numpy()
+    while pos <= hi:
+        pe = min(pos + WINDOW_BP - 1, hi)
+        m = int(((bp >= pos - WING_BP) & (bp <= pe + WING_BP) & (typ == 1)).sum())
+        u = int(((bp >= pos) & (bp <= pe) & (typ == 0)).sum())
+        total_pairs += m * (m - 1) // 2 + m + u + u * m
+        pos = pe + 1
+    est_ref_time = total_pairs * t_pair
+    speedup = est_ref_time / elapsed
+    log(f"[bench] scalar-baseline estimate: {t_pair*1e6:.1f} us/pair x "
+        f"{total_pairs:.3g} pairs = {est_ref_time:.0f}s -> speedup {speedup:.0f}x")
+    log(f"[bench] total bench time {time.time()-t0:.1f}s")
+
+    print(json.dumps({
+        "metric": "distmix imputed SNPs/s/chip (33KG-shape panel, chr22-like)",
+        "value": round(rate, 1),
+        "unit": "SNPs/s/chip",
+        "vs_baseline": round(speedup, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,324 @@
+"""Genome-scale windowed imputation engine.
+
+The reference scales to a genome by the USER calling dist/distmix once
+per window, re-reading the panel every call (SURVEY.md section 2.3).
+This engine is the TPU-native replacement:
+
+* the panel region is decoded ONCE into an int8 dosage matrix
+  (PanelStore) that is reused by every window;
+* windows are scheduled over bucket-padded static shapes so XLA
+  compiles a handful of kernels for an entire chromosome;
+* per-window correlation blocks run on the accelerator (exact integer
+  f32 stats + f64 combines); the dense solves run either on the host in
+  float64 (parity mode, default) or fused on-device in float32
+  (throughput mode).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import time
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+import pandas as pd
+
+from ..config import PanelFiles, Settings, DEFAULT_SETTINGS
+from ..core import linalg, stats, variants
+from ..io import readers
+from ..io.panel import PanelReader, read_panel_index
+from ..ops.window_kernel import WindowKernelSpec, build_window_kernel
+from ..utils.special import pnorm_two_sided
+
+import jax
+import jax.numpy as jnp
+from functools import partial
+
+
+# ---------------------------------------------------------------------------
+# PanelStore: one-shot decoded panel region
+# ---------------------------------------------------------------------------
+
+@dataclasses.dataclass
+class PanelStore:
+    """Columnar decoded panel: the HBM-side format of SURVEY.md section 7."""
+
+    index: pd.DataFrame            # rsid chr bp a1 a2 af1ref fpos
+    G: np.ndarray                  # int8 [n_snps, S_all] all populations
+    af: np.ndarray                 # float64 [n_snps, P]
+    desc: readers.PopDesc
+
+    @classmethod
+    def from_bgzf(cls, panel: PanelFiles, chrom: int = 0,
+                  start_bp: Optional[int] = None,
+                  end_bp: Optional[int] = None) -> "PanelStore":
+        desc = readers.read_pop_desc(panel.pop_desc_file)
+        idx = read_panel_index(panel.index_file, chrom=chrom,
+                               start_bp=start_bp, end_bp=end_bp)
+        reader = PanelReader(panel.data_file, desc)
+        dec = reader.decode_rows(idx["fpos"].to_numpy())
+        return cls(index=idx, G=dec.G, af=dec.af, desc=desc)
+
+    @classmethod
+    def from_arrays(cls, index: pd.DataFrame, G: np.ndarray,
+                    af: np.ndarray, desc: readers.PopDesc) -> "PanelStore":
+        return cls(index=index, G=G, af=af, desc=desc)
+
+    def save(self, dir_path: str) -> None:
+        os.makedirs(dir_path, exist_ok=True)
+        np.save(os.path.join(dir_path, "G.npy"), self.G)
+        np.save(os.path.join(dir_path, "af.npy"), self.af)
+        self.index.to_parquet(os.path.join(dir_path, "index.parquet"))
+        with open(os.path.join(dir_path, "pop_desc.txt"), "w") as fh:
+            fh.write("Population_Abbreviation\tN\tSuper_Population\n")
+            for p, m, sp in zip(self.desc.pops, self.desc.sizes,
+                                self.desc.sup_pops):
+                fh.write(f"{p}\t{m}\t{sp}\n")
+
+    @classmethod
+    def load(cls, dir_path: str) -> "PanelStore":
+        G = np.load(os.path.join(dir_path, "G.npy"), mmap_mode="r")
+        af = np.load(os.path.join(dir_path, "af.npy"))
+        index = pd.read_parquet(os.path.join(dir_path, "index.parquet"))
+        desc = readers.read_pop_desc(os.path.join(dir_path, "pop_desc.txt"))
+        return cls(index=index, G=np.asarray(G), af=af, desc=desc)
+
+
+def _round_up(x: int, m: int) -> int:
+    return -(-x // m) * m
+
+
+@dataclasses.dataclass
+class WindowResult:
+    table: pd.DataFrame            # output rows for the prediction window
+    n_measured: int
+    n_unmeasured: int
+
+
+class GenomeEngine:
+    """Windowed distmix/dist over a PanelStore."""
+
+    def __init__(self, store: PanelStore,
+                 settings: Settings = DEFAULT_SETTINGS,
+                 snp_bucket: int = 256,
+                 device_linalg: bool = False):
+        self.store = store
+        self.settings = settings
+        self.snp_bucket = snp_bucket
+        self.device_linalg = device_linalg
+        self._corr_fns: Dict = {}
+        self._fused_fns: Dict = {}
+
+    # -- selection --------------------------------------------------------
+    def _select(self, pop_flags: np.ndarray):
+        sel = np.flatnonzero(pop_flags != 0)
+        bounds = stats.segment_bounds(self.store.desc.sizes)
+        cols = np.concatenate([np.arange(bounds[k], bounds[k + 1])
+                               for k in sel])
+        sizes = tuple(int(self.store.desc.sizes[k]) for k in sel)
+        return sel, cols, sizes
+
+    def prepare_mix(self, input_df: pd.DataFrame, pop_wgt: Dict[str, float],
+                    af1_cutoff: float = 0.01) -> "PreparedRun":
+        """Join input against the in-memory index + AF filter, once for
+        the whole region."""
+        flags, wgts = readers.init_pop_flag_wgts(self.store.desc, pop_wgt)
+        sel, cols, sizes = self._select(flags)
+        table = variants.join_reference_index(
+            input_df, self.store.index, add_unmeasured=True)
+        # map fpos back to store rows
+        fmap = pd.Series(np.arange(len(self.store.index)),
+                         index=self.store.index["fpos"].to_numpy())
+        g_row = np.full(len(table), -1, dtype=np.int64)
+        has = table["fpos"].to_numpy() >= 0
+        g_row[has] = fmap.reindex(table["fpos"].to_numpy()[has]).to_numpy()
+
+        af1 = np.full(len(table), np.nan)
+        af1[has] = self.store.af[g_row[has]][:, sel] @ wgts
+        table = table.assign(af1mix=af1)
+        keep = np.ones(len(table), dtype=bool)
+        keep[has] = (af1[has] > af1_cutoff) & (af1[has] < 1 - af1_cutoff)
+        table = table[keep].reset_index(drop=True)
+        g_row = g_row[keep]
+        return PreparedRun(self, table, g_row, cols, sizes,
+                           tuple(float(x) for x in wgts))
+
+    def prepare_homog(self, input_df: pd.DataFrame, study_pop: str,
+                      af1_cutoff: float = 0.01) -> "PreparedRun":
+        flags = readers.init_pop_flags(self.store.desc, study_pop)
+        sel, cols, sizes = self._select(flags)
+        table = variants.join_reference_index(
+            input_df, self.store.index, add_unmeasured=True)
+        fmap = pd.Series(np.arange(len(self.store.index)),
+                         index=self.store.index["fpos"].to_numpy())
+        g_row = np.full(len(table), -1, dtype=np.int64)
+        has = table["fpos"].to_numpy() >= 0
+        g_row[has] = fmap.reindex(table["fpos"].to_numpy()[has]).to_numpy()
+
+        af1 = np.full(len(table), np.nan)
+        counts = self.store.G[np.ix_(g_row[has], cols)].astype(np.int64).sum(axis=1)
+        af = counts / (2.0 * float(sum(sizes)))
+        af1[has] = np.ceil(af * 1e5) / 1e5
+        table = table.assign(af1ref=af1)
+        keep = np.ones(len(table), dtype=bool)
+        keep[has] = (af1[has] > af1_cutoff) & (af1[has] < 1 - af1_cutoff)
+        table = table[keep].reset_index(drop=True)
+        g_row = g_row[keep]
+        return PreparedRun(self, table, g_row, cols, sizes, None)
+
+    # -- compiled kernels --------------------------------------------------
+    def _corr_fn(self, Mp: int, Up: int, sizes, wgts):
+        key = (Mp, Up, sizes, wgts)
+        fn = self._corr_fns.get(key)
+        if fn is None:
+            fn = _build_corr_blocks_fn(sizes, wgts)
+            self._corr_fns[key] = fn
+        return fn
+
+    def _fused_fn(self, Mp: int, Up: int, sizes, wgts):
+        key = (Mp, Up, sizes, wgts)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            spec = WindowKernelSpec(
+                pop_sizes=sizes, pop_sizes_padded=sizes, wgts=wgts,
+                lam=self.settings.lambda_,
+                min_abs_eig=self.settings.min_abs_eig, exact=True)
+            fn = build_window_kernel(spec)
+            self._fused_fns[key] = fn
+        return fn
+
+
+@dataclasses.dataclass
+class PreparedRun:
+    engine: GenomeEngine
+    table: pd.DataFrame
+    g_row: np.ndarray
+    subj_cols: np.ndarray
+    pop_sizes: Tuple[int, ...]
+    wgts: Optional[Tuple[float, ...]]
+
+    def impute_window(self, start_bp: int, end_bp: int,
+                      wing_size: int) -> Optional[WindowResult]:
+        """Impute one prediction window (reference semantics of
+        run_distmix, src/distmix.cpp:138-253)."""
+        eng = self.engine
+        st = eng.settings
+        t = self.table
+        bp = t["bp"].to_numpy()
+        typ = t["type"].to_numpy()
+        in_ext = (bp >= start_bp - wing_size) & (bp <= end_bp + wing_size)
+        m_rows = np.flatnonzero(in_ext & (typ == 1))
+        u_rows = np.flatnonzero((typ == 0) & (bp >= start_bp) & (bp <= end_bp))
+        M, U = len(m_rows), len(u_rows)
+        if M <= st.min_num_measured_snp or U <= st.min_num_unmeasured_snp:
+            return None
+
+        bucket = eng.snp_bucket
+        Mp, Up = _round_up(M, bucket), _round_up(U, bucket)
+        S = len(self.subj_cols)
+        Gm = np.zeros((1, Mp, S), dtype=np.int8)
+        Gu = np.zeros((1, Up, S), dtype=np.int8)
+        Gm[0, :M] = self.engine.store.G[np.ix_(self.g_row[m_rows],
+                                               self.subj_cols)]
+        Gu[0, :U] = self.engine.store.G[np.ix_(self.g_row[u_rows],
+                                               self.subj_cols)]
+        Z1 = np.zeros((1, Mp))
+        Z1[0, :M] = t["z"].to_numpy()[m_rows]
+        m_mask = np.zeros((1, Mp), dtype=np.float32)
+        u_mask = np.zeros((1, Up), dtype=np.float32)
+        m_mask[0, :M] = 1
+        u_mask[0, :U] = 1
+
+        if eng.device_linalg:
+            fn = eng._fused_fn(Mp, Up, self.pop_sizes, self.wgts)
+            z, info = fn(Gm, Gu, Z1, m_mask, u_mask)
+            z = np.asarray(z)[0, :U].astype(np.float64)
+            info = np.asarray(info)[0, :U].astype(np.float64)
+        else:
+            fn = eng._corr_fn(Mp, Up, self.pop_sizes, self.wgts)
+            B11, B21 = fn(jnp.asarray(Gm[0]), jnp.asarray(Gu[0]))
+            B11 = np.array(B11[:M, :M])
+            B21 = np.array(B21[:U, :M])
+            np.fill_diagonal(B11, 1.0 + st.lambda_)
+            B11 = linalg.make_pos_def(B11, st.min_abs_eig)
+            A = B21 @ linalg.inv_mat(B11)
+            z2 = A @ Z1[0, :M]
+            info = np.abs(np.einsum("um,um->u", A, B21))
+            z = z2 / np.sqrt(info)
+
+        # assemble output rows for the prediction window
+        out_z = t["z"].to_numpy().copy()
+        out_info = t["info"].to_numpy().copy()
+        out_z[u_rows] = z
+        out_info[u_rows] = info
+        mask = (bp >= start_bp) & (bp <= end_bp)
+        tt = t[mask]
+        sel = np.flatnonzero(mask)
+        af_col = "af1mix" if self.wgts is not None else "af1ref"
+        res = pd.DataFrame({
+            "rsid": tt["rsid"].to_numpy(),
+            "chr": tt["chr"].to_numpy(),
+            "bp": tt["bp"].to_numpy(),
+            "a1": tt["a1"].to_numpy(),
+            "a2": tt["a2"].to_numpy(),
+            af_col: tt[af_col].to_numpy(),
+            "z": out_z[sel],
+            "pval": pnorm_two_sided(out_z[sel]),
+            "info": out_info[sel],
+            "type": tt["type"].to_numpy(),
+        })
+        return WindowResult(table=res, n_measured=M, n_unmeasured=U)
+
+    def impute_region(self, start_bp: int, end_bp: int,
+                      window_bp: int = 1_000_000,
+                      wing_size: int = 500_000) -> pd.DataFrame:
+        """Tile [start_bp, end_bp] with non-overlapping prediction windows
+        (plus wings) and impute them all."""
+        frames = []
+        lo = start_bp
+        while lo <= end_bp:
+            hi = min(lo + window_bp - 1, end_bp)
+            r = self.impute_window(lo, hi, wing_size)
+            if r is not None:
+                frames.append(r.table)
+            lo = hi + 1
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+
+def _build_corr_blocks_fn(pop_sizes, wgts):
+    """Jitted (Gm [M,S], Gu [U,S]) -> (B11 f64 [M,M], B21 f64 [U,M])
+    correlation blocks (diagonals NOT ridged; host applies that)."""
+    bounds = stats.segment_bounds(pop_sizes)
+
+    if wgts is not None:
+        m64 = np.asarray(pop_sizes, dtype=np.float64)
+        w64 = np.asarray(wgts, dtype=np.float64)
+
+        @jax.jit
+        def fn(Gm, Gu):
+            C_mm = stats.pop_cross_products(Gm, Gm, bounds)
+            C_um = stats.pop_cross_products(Gu, Gm, bounds)
+            S_m, Q_m = stats.pop_row_stats(Gm, bounds)
+            S_u, Q_u = stats.pop_row_stats(Gu, bounds)
+            var_m = stats.wgt_var_combine(Q_m, S_m, m64, w64)
+            var_u = stats.wgt_var_combine(Q_u, S_u, m64, w64)
+            std_m = jnp.sqrt(jnp.where(var_m > 0, var_m, 1.0))
+            std_u = jnp.sqrt(jnp.where(var_u > 0, var_u, 1.0))
+            cov_mm = stats.wgt_cov_combine(C_mm, S_m, S_m, m64, w64)
+            cov_um = stats.wgt_cov_combine(C_um, S_u, S_m, m64, w64)
+            B11 = cov_mm / (std_m[:, None] * std_m[None, :])
+            B21 = cov_um / (std_u[:, None] * std_m[None, :])
+            return B11, B21
+    else:
+        n = float(sum(int(x) for x in pop_sizes))
+
+        @jax.jit
+        def fn(Gm, Gu):
+            B11 = stats.pooled_corr_matrix(Gm, Gm)
+            B21 = stats.pooled_corr_matrix(Gu, Gm)
+            return B11, B21
+
+    return fn

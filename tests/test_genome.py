@@ -1,0 +1,91 @@
+"""Genome engine: windowed runs must match the per-call API."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import gauss_tpu
+from gauss_tpu.config import PanelFiles
+from gauss_tpu.io import readers
+from gauss_tpu.models.genome import GenomeEngine, PanelStore
+
+POP_WGT = pd.DataFrame({"pop": ["AAA", "CCC", "EEE"],
+                        "wgt": [0.5, 0.3, 0.2]})
+
+
+@pytest.fixture(scope="module")
+def store(synpanel):
+    return PanelStore.from_bgzf(PanelFiles(
+        synpanel.files.index_file, synpanel.files.data_file,
+        synpanel.files.pop_desc_file))
+
+
+def test_store_roundtrip(store, synpanel, tmp_path):
+    np.testing.assert_array_equal(store.G, synpanel.genotypes)
+    store.save(str(tmp_path / "cache"))
+    loaded = PanelStore.load(str(tmp_path / "cache"))
+    np.testing.assert_array_equal(loaded.G, store.G)
+    assert (loaded.index["rsid"] == store.index["rsid"]).all()
+
+
+def test_engine_matches_percall_distmix(store, synpanel, gwas_input):
+    path, truth = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    p_lo = lo + (hi - lo) // 3
+    p_hi = lo + 2 * (hi - lo) // 3
+    wing = hi - lo
+
+    ref = gauss_tpu.distmix(22, p_lo, p_hi, wing, POP_WGT, path,
+                            synpanel.files.index_file,
+                            synpanel.files.data_file,
+                            synpanel.files.pop_desc_file, af1_cutoff=0.01)
+
+    eng = GenomeEngine(store, snp_bucket=64)
+    inp = readers.read_input_z(path, all_snps=True)
+    run = eng.prepare_mix(inp, readers.pop_wgt_map_from_df(POP_WGT),
+                          af1_cutoff=0.01)
+    res = run.impute_window(p_lo, p_hi, wing).table
+
+    assert len(res) == len(ref)
+    np.testing.assert_array_equal(res["rsid"].to_numpy(),
+                                  ref["rsid"].to_numpy())
+    np.testing.assert_allclose(res["z"], ref["z"], rtol=1e-10, atol=1e-12)
+    np.testing.assert_allclose(res["info"], ref["info"], rtol=1e-10,
+                               atol=1e-12)
+    np.testing.assert_allclose(res["af1mix"], ref["af1mix"], rtol=1e-12)
+
+
+def test_engine_device_linalg_close(store, synpanel, gwas_input):
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    p_lo = lo + (hi - lo) // 3
+    p_hi = lo + 2 * (hi - lo) // 3
+    wing = hi - lo
+    inp = readers.read_input_z(path, all_snps=True)
+
+    eng_h = GenomeEngine(store, snp_bucket=64, device_linalg=False)
+    eng_d = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    rh = eng_h.prepare_mix(inp, readers.pop_wgt_map_from_df(POP_WGT))
+    rd = eng_d.prepare_mix(inp, readers.pop_wgt_map_from_df(POP_WGT))
+    a = rh.impute_window(p_lo, p_hi, wing).table
+    b = rd.impute_window(p_lo, p_hi, wing).table
+    imp = a["type"].to_numpy() == 0
+    dz = np.abs(a["z"].to_numpy()[imp] - b["z"].to_numpy()[imp])
+    assert dz.max() < 5e-3  # f32 linalg vs f64 host linalg
+
+
+def test_engine_region_tiling(store, synpanel, gwas_input):
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    eng = GenomeEngine(store, snp_bucket=64)
+    inp = readers.read_input_z(path, all_snps=True)
+    run = eng.prepare_mix(inp, readers.pop_wgt_map_from_df(POP_WGT))
+    span = hi - lo + 1
+    res = run.impute_region(lo, hi, window_bp=span // 2 + 1,
+                            wing_size=span)
+    # two windows tile the region: every kept SNP appears exactly once
+    assert res["bp"].is_unique
+    assert res["bp"].min() >= lo and res["bp"].max() <= hi
