@@ -46,16 +46,24 @@ def read_panel_index(
     src/gauss.cpp:332-338): keep rows with matching chromosome (when
     chrom > 0) and bp in [start_bp - wing_size, end_bp + wing_size].
     """
-    chunks: List[bytes] = []
-    with BgzfReader(index_file, cache_blocks=0) as r:
-        r.seek(0)
-        while True:
-            if r._uoffset >= len(r._block):
-                if not r._advance_block():
-                    break
-            chunks.append(r._block[r._uoffset:])
-            r._uoffset = len(r._block)
-    text = b"".join(chunks)
+    from . import native
+    if native.available():
+        h = native.NativeBgzf(index_file)
+        try:
+            text = h.read_all()
+        finally:
+            h.close()
+    else:
+        chunks: List[bytes] = []
+        with BgzfReader(index_file, cache_blocks=0) as r:
+            r.seek(0)
+            while True:
+                if r._uoffset >= len(r._block):
+                    if not r._advance_block():
+                        break
+                chunks.append(r._block[r._uoffset:])
+                r._uoffset = len(r._block)
+        text = b"".join(chunks)
     df = pd.read_csv(
         _io.BytesIO(text),
         sep=r"\s+",
@@ -84,11 +92,21 @@ class DecodedRows:
 
 
 class PanelReader:
-    """Bulk decoder for the bgzf panel data file."""
+    """Bulk decoder for the bgzf panel data file.
 
-    def __init__(self, data_file: str, desc: PopDesc):
+    Uses the native multithreaded decoder (csrc/panel_decoder.cpp via
+    gauss_tpu.io.native) when the shared library is built, falling back
+    to the pure-Python block reader otherwise.
+    """
+
+    def __init__(self, data_file: str, desc: PopDesc,
+                 use_native: Optional[bool] = None):
         self.data_file = data_file
         self.desc = desc
+        if use_native is None:
+            from . import native
+            use_native = native.available()
+        self.use_native = use_native
 
     def decode_rows(
         self,
@@ -104,6 +122,39 @@ class PanelReader:
         src/gauss.cpp:561,651,744).  Output row order matches the input
         ``fpos`` order.
         """
+        if self.use_native:
+            return self._decode_rows_native(fpos, pop_flags,
+                                            want_genotypes, want_af)
+        return self._decode_rows_python(fpos, pop_flags,
+                                        want_genotypes, want_af)
+
+    def _decode_rows_native(self, fpos, pop_flags, want_genotypes, want_af
+                            ) -> DecodedRows:
+        from . import native
+        desc = self.desc
+        P = desc.num_pops
+        if pop_flags is None:
+            pop_flags = np.ones(P, dtype=np.int8)
+        sel = np.flatnonzero(np.asarray(pop_flags) != 0)
+        h = native.NativeBgzf(self.data_file)
+        try:
+            G, af = h.decode_rows(np.asarray(fpos, dtype=np.int64),
+                                  desc.sizes, sel,
+                                  want_genotypes=want_genotypes,
+                                  want_af=want_af)
+        finally:
+            h.close()
+        return DecodedRows(G=G, af=af,
+                           pop_sizes=desc.sizes[sel].astype(np.int64),
+                           pop_index=sel.astype(np.int64))
+
+    def _decode_rows_python(
+        self,
+        fpos: Sequence[int],
+        pop_flags: Optional[np.ndarray] = None,
+        want_genotypes: bool = True,
+        want_af: bool = True,
+    ) -> DecodedRows:
         desc = self.desc
         P = desc.num_pops
         if pop_flags is None:
