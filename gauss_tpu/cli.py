@@ -1,0 +1,233 @@
+"""Command-line interface.
+
+Mirrors the reference R API's argument names (dist/distmix/computeLD/
+simulateLD/afmix/cpw2/zmix/qcat/qcatmix/jepeg/jepegmix/fiqt) so users of
+the reference can switch over directly::
+
+    python -m gauss_tpu distmix --chr 22 --start-bp 16000000 \
+        --end-bp 17000000 --wing-size 500000 \
+        --pop-wgt-file weights.tsv --input-file z.txt \
+        --reference-index-file panel_index.gz \
+        --reference-data-file panel_geno.gz \
+        --reference-pop-desc-file pop_desc.txt -o out.tsv
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+import numpy as np
+import pandas as pd
+
+
+def _ref_args(p: argparse.ArgumentParser, window: bool = True,
+              pop: str = "none"):
+    if window:
+        p.add_argument("--chr", type=int, required=True)
+        p.add_argument("--start-bp", type=int, required=True)
+        p.add_argument("--end-bp", type=int, required=True)
+    p.add_argument("--input-file", required=True)
+    p.add_argument("--reference-index-file", required=True)
+    p.add_argument("--reference-data-file", required=True)
+    p.add_argument("--reference-pop-desc-file", required=True)
+    if pop == "study":
+        p.add_argument("--study-pop", required=True)
+    elif pop == "wgt":
+        p.add_argument("--pop-wgt-file", required=True,
+                       help="TSV/whitespace file with columns pop wgt "
+                            "(afmix output format)")
+    p.add_argument("-o", "--output", default="-",
+                   help="output TSV path ('-' = stdout)")
+
+
+def _read_pop_wgt(path: str) -> pd.DataFrame:
+    df = pd.read_csv(path, sep=r"\s+")
+    cols = [c.lower() for c in df.columns]
+    if "pop" in cols and "wgt" in cols:
+        return df[[df.columns[cols.index("pop")],
+                   df.columns[cols.index("wgt")]]]
+    return df.iloc[:, :2]
+
+
+def _emit(df: pd.DataFrame, out: str):
+    if out == "-":
+        df.to_csv(sys.stdout, sep="\t", index=False)
+    else:
+        df.to_csv(out, sep="\t", index=False)
+
+
+def _emit_matrix(mat: np.ndarray, path: str):
+    np.savetxt(path, mat, fmt="%.10g", delimiter="\t")
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(
+        prog="gauss_tpu",
+        description="TPU-native GWAS summary-statistics engine "
+                    "(capabilities of statsleelab/gauss)")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    for name, pop in [("dist", "study"), ("distmix", "wgt"),
+                      ("qcat", "study"), ("qcatmix", "wgt")]:
+        p = sub.add_parser(name)
+        _ref_args(p, window=True, pop=pop)
+        p.add_argument("--wing-size", type=int, required=True)
+        p.add_argument("--af1-cutoff", type=float, default=None)
+
+    p = sub.add_parser("computeLD", aliases=["compute-ld"])
+    _ref_args(p, window=True, pop="wgt")
+    p.add_argument("--af1-cutoff", type=float, default=None)
+    p.add_argument("--cormat-out", default=None)
+
+    p = sub.add_parser("simulateLD", aliases=["simulate-ld"])
+    _ref_args(p, window=True, pop="wgt")
+    p.add_argument("--sim-size", type=int, required=True)
+    p.add_argument("--af1-cutoff", type=float, default=None)
+    p.add_argument("--seed", type=int, default=None)
+    p.add_argument("--cormat-out", default=None)
+
+    for name in ("afmix", "cpw2"):
+        p = sub.add_parser(name)
+        _ref_args(p, window=False)
+        p.add_argument("--interval", type=int, default=None)
+
+    p = sub.add_parser("zmix")
+    _ref_args(p, window=False)
+    p.add_argument("--percentile", type=float, default=0.9)
+    p.add_argument("--interval", type=int, default=10)
+    p.add_argument("--level", choices=["population", "superpopulation"],
+                   default="population")
+
+    for name, pop in [("jepeg", "study"), ("jepegmix", "wgt")]:
+        p = sub.add_parser(name)
+        _ref_args(p, window=False, pop=pop)
+        p.add_argument("--annotation-file", required=True)
+        p.add_argument("--af1-cutoff", type=float, default=None)
+
+    p = sub.add_parser("fiqt")
+    p.add_argument("--input-file", required=True,
+                   help="text file with a z column (or single column)")
+    p.add_argument("-o", "--output", default="-")
+
+    p = sub.add_parser("panel-cache",
+                       help="decode a bgzf panel to the columnar cache")
+    p.add_argument("--reference-index-file", required=True)
+    p.add_argument("--reference-data-file", required=True)
+    p.add_argument("--reference-pop-desc-file", required=True)
+    p.add_argument("--chr", type=int, default=0)
+    p.add_argument("-o", "--output", required=True, help="cache directory")
+
+    p = sub.add_parser("impute-region",
+                       help="genome-scale windowed distmix over a cached "
+                            "or bgzf panel")
+    _ref_args(p, window=True, pop="wgt")
+    p.add_argument("--window-bp", type=int, default=1_000_000)
+    p.add_argument("--wing-size", type=int, default=500_000)
+    p.add_argument("--af1-cutoff", type=float, default=0.01)
+    p.add_argument("--panel-cache", default=None,
+                   help="use a decoded panel cache dir instead of bgzf")
+    p.add_argument("--device-linalg", action="store_true")
+
+    args = ap.parse_args(argv)
+
+    import gauss_tpu
+
+    ref = {}
+    if hasattr(args, "reference_index_file"):
+        ref = dict(
+            reference_index_file=args.reference_index_file,
+            reference_data_file=args.reference_data_file,
+            reference_pop_desc_file=args.reference_pop_desc_file,
+        )
+
+    if args.cmd in ("dist", "qcat"):
+        fn = getattr(gauss_tpu, args.cmd)
+        df = fn(args.chr, args.start_bp, args.end_bp, args.wing_size,
+                args.study_pop, args.input_file, **ref,
+                af1_cutoff=args.af1_cutoff)
+        _emit(df, args.output)
+    elif args.cmd in ("distmix", "qcatmix"):
+        fn = getattr(gauss_tpu, args.cmd)
+        df = fn(args.chr, args.start_bp, args.end_bp, args.wing_size,
+                _read_pop_wgt(args.pop_wgt_file), args.input_file, **ref,
+                af1_cutoff=args.af1_cutoff)
+        _emit(df, args.output)
+    elif args.cmd in ("computeLD", "compute-ld"):
+        res = gauss_tpu.compute_ld(
+            args.chr, args.start_bp, args.end_bp,
+            _read_pop_wgt(args.pop_wgt_file), args.input_file, **ref,
+            af1_cutoff=args.af1_cutoff)
+        _emit(res["snplist"], args.output)
+        if args.cormat_out:
+            _emit_matrix(res["cormat"], args.cormat_out)
+    elif args.cmd in ("simulateLD", "simulate-ld"):
+        res = gauss_tpu.simulate_ld(
+            args.chr, args.start_bp, args.end_bp,
+            _read_pop_wgt(args.pop_wgt_file), args.sim_size,
+            args.input_file, **ref, af1_cutoff=args.af1_cutoff,
+            seed=args.seed)
+        _emit(res["snplist"], args.output)
+        if args.cormat_out:
+            _emit_matrix(res["cormat"], args.cormat_out)
+    elif args.cmd in ("afmix", "cpw2"):
+        fn = getattr(gauss_tpu, args.cmd)
+        df = fn(args.input_file, **ref, interval=args.interval)
+        _emit(df, args.output)
+    elif args.cmd == "zmix":
+        df = gauss_tpu.zmix(args.input_file, **ref,
+                            percentile=args.percentile,
+                            interval=args.interval, level=args.level)
+        _emit(df, args.output)
+    elif args.cmd in ("jepeg", "jepegmix"):
+        if args.cmd == "jepeg":
+            df = gauss_tpu.jepeg(args.study_pop, args.input_file,
+                                 args.annotation_file, **ref,
+                                 af1_cutoff=args.af1_cutoff)
+        else:
+            df = gauss_tpu.jepegmix(_read_pop_wgt(args.pop_wgt_file),
+                                    args.input_file, args.annotation_file,
+                                    **ref, af1_cutoff=args.af1_cutoff)
+        _emit(df, args.output)
+    elif args.cmd == "fiqt":
+        df = pd.read_csv(args.input_file, sep=r"\s+")
+        zcol = "z" if "z" in df.columns else df.columns[-1]
+        df["z_fiqt"] = gauss_tpu.fiqt(df[zcol].to_numpy())
+        _emit(df, args.output)
+    elif args.cmd == "panel-cache":
+        from gauss_tpu.config import PanelFiles
+        from gauss_tpu.models.genome import PanelStore
+        store = PanelStore.from_bgzf(
+            PanelFiles(args.reference_index_file, args.reference_data_file,
+                       args.reference_pop_desc_file), chrom=args.chr)
+        store.save(args.output)
+        print(f"cached {store.G.shape[0]} SNPs x {store.G.shape[1]} "
+              f"subjects -> {args.output}", file=sys.stderr)
+    elif args.cmd == "impute-region":
+        from gauss_tpu.config import PanelFiles
+        from gauss_tpu.io import readers
+        from gauss_tpu.models.genome import GenomeEngine, PanelStore
+        if args.panel_cache:
+            store = PanelStore.load(args.panel_cache)
+        else:
+            store = PanelStore.from_bgzf(
+                PanelFiles(args.reference_index_file,
+                           args.reference_data_file,
+                           args.reference_pop_desc_file), chrom=args.chr)
+        inp = readers.read_input_z(args.input_file, chrom=args.chr,
+                                   start_bp=args.start_bp,
+                                   end_bp=args.end_bp,
+                                   wing_size=args.wing_size)
+        eng = GenomeEngine(store, device_linalg=args.device_linalg)
+        run = eng.prepare_mix(
+            inp, readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),
+            af1_cutoff=args.af1_cutoff)
+        df = run.impute_region(args.start_bp, args.end_bp,
+                               window_bp=args.window_bp,
+                               wing_size=args.wing_size)
+        _emit(df, args.output)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,83 @@
+"""CLI smoke tests."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gauss_tpu import cli
+
+
+@pytest.fixture(scope="module")
+def region(synpanel):
+    bp = synpanel.index_df["bp"]
+    return int(bp.min()), int(bp.max())
+
+
+def _ref_argv(synpanel):
+    return ["--reference-index-file", synpanel.files.index_file,
+            "--reference-data-file", synpanel.files.data_file,
+            "--reference-pop-desc-file", synpanel.files.pop_desc_file]
+
+
+def test_cli_distmix(synpanel, gwas_input, region, tmp_path):
+    path, _ = gwas_input
+    lo, hi = region
+    wgt_file = tmp_path / "wgt.tsv"
+    pd.DataFrame({"pop": ["AAA", "CCC"], "wgt": [0.6, 0.4]}).to_csv(
+        wgt_file, sep="\t", index=False)
+    out = tmp_path / "out.tsv"
+    cli.main(["distmix", "--chr", "22",
+              "--start-bp", str(lo + (hi - lo) // 3),
+              "--end-bp", str(lo + 2 * (hi - lo) // 3),
+              "--wing-size", str(hi - lo),
+              "--pop-wgt-file", str(wgt_file),
+              "--input-file", path] + _ref_argv(synpanel)
+             + ["-o", str(out)])
+    df = pd.read_csv(out, sep="\t")
+    assert {"rsid", "z", "pval", "info", "type"} <= set(df.columns)
+    assert len(df) > 0
+
+
+def test_cli_compute_ld(synpanel, gwas_input, region, tmp_path):
+    path, _ = gwas_input
+    lo, hi = region
+    wgt_file = tmp_path / "wgt.tsv"
+    pd.DataFrame({"pop": ["AAA", "EEE"], "wgt": [0.7, 0.3]}).to_csv(
+        wgt_file, sep="\t", index=False)
+    out = tmp_path / "snplist.tsv"
+    cormat = tmp_path / "cormat.tsv"
+    cli.main(["computeLD", "--chr", "22", "--start-bp", str(lo),
+              "--end-bp", str(hi), "--pop-wgt-file", str(wgt_file),
+              "--input-file", path] + _ref_argv(synpanel)
+             + ["-o", str(out), "--cormat-out", str(cormat)])
+    snplist = pd.read_csv(out, sep="\t")
+    mat = np.loadtxt(cormat)
+    assert mat.shape == (len(snplist), len(snplist))
+
+
+def test_cli_fiqt(tmp_path):
+    zfile = tmp_path / "z.txt"
+    pd.DataFrame({"z": [0.5, -3.2, 7.7]}).to_csv(zfile, sep="\t", index=False)
+    out = tmp_path / "o.tsv"
+    cli.main(["fiqt", "--input-file", str(zfile), "-o", str(out)])
+    df = pd.read_csv(out, sep="\t")
+    assert "z_fiqt" in df.columns
+
+
+def test_cli_panel_cache_and_region(synpanel, gwas_input, region, tmp_path):
+    path, _ = gwas_input
+    lo, hi = region
+    cache = tmp_path / "cache"
+    cli.main(["panel-cache"] + _ref_argv(synpanel) + ["-o", str(cache)])
+    wgt_file = tmp_path / "wgt.tsv"
+    pd.DataFrame({"pop": ["AAA", "BBB"], "wgt": [0.5, 0.5]}).to_csv(
+        wgt_file, sep="\t", index=False)
+    out = tmp_path / "region.tsv"
+    cli.main(["impute-region", "--chr", "22", "--start-bp", str(lo),
+              "--end-bp", str(hi), "--pop-wgt-file", str(wgt_file),
+              "--input-file", path, "--panel-cache", str(cache),
+              "--window-bp", str((hi - lo) // 2 + 1),
+              "--wing-size", str(hi - lo)]
+             + _ref_argv(synpanel) + ["-o", str(out)])
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) > 0 and df["bp"].is_unique
