@@ -60,7 +60,7 @@ def main():
     lo = int(store.index["bp"].min())
     hi = int(store.index["bp"].max())
 
-    engine = GenomeEngine(store, snp_bucket=256, device_linalg=False)
+    engine = GenomeEngine(store, snp_bucket=256, device_linalg=True)
     run = engine.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
     log(f"[bench] prepared: {len(run.table)} SNPs in table")
 
@@ -70,7 +70,14 @@ def main():
     log(f"[bench] warmup window: M={w0.n_measured} U={w0.n_unmeasured} "
         f"({time.time()-t:.1f}s incl. compile)")
 
-    # timed full region
+    # pass 1 compiles any remaining window-shape buckets (persistent
+    # compilation cache makes this fast on every run after the first);
+    # pass 2 is the steady-state headline measurement
+    t = time.time()
+    res = run.impute_region(lo, hi, window_bp=WINDOW_BP, wing_size=WING_BP)
+    n_imputed = int((res["type"] == 0).sum())
+    log(f"[bench] pass 1 (incl. bucket compiles): {n_imputed} SNPs in "
+        f"{time.time()-t:.2f}s")
     t = time.time()
     res = run.impute_region(lo, hi, window_bp=WINDOW_BP, wing_size=WING_BP)
     elapsed = time.time() - t
@@ -80,10 +87,10 @@ def main():
         f"-> {rate:.1f} SNPs/s/chip")
 
     # accuracy cross-check: fused device-linalg path vs host f64 path
-    eng_d = GenomeEngine(store, snp_bucket=256, device_linalg=True)
-    run_d = eng_d.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
-    a = w0.table
-    b = run_d.impute_window(lo, lo + WINDOW_BP - 1, WING_BP).table
+    eng_h = GenomeEngine(store, snp_bucket=256, device_linalg=False)
+    run_h = eng_h.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    a = run_h.impute_window(lo, lo + WINDOW_BP - 1, WING_BP).table
+    b = w0.table
     imp = a["type"].to_numpy() == 0
     max_dz = float(np.abs(a["z"].to_numpy()[imp] - b["z"].to_numpy()[imp]).max())
     log(f"[bench] fused-vs-host max|dZ| = {max_dz:.2e}")

@@ -9,16 +9,33 @@ Z-score imputation (dist/distmix), ancestry-weighted LD
 curse correction (fiqt).
 
 Design: the reference panel is decoded once into HBM-resident int8
-dosage matrices; every correlation kernel is an MXU matmul over
-integer-exact f32 sufficient statistics with f64 combines; windows and
-genes run data-parallel over a jax.sharding.Mesh with the subject axis
-sharded via psum.
+dosage matrices; every correlation kernel is an MXU matmul (centered
+cancellation-free f32 on the fused device path, integer-exact f32
+sufficient statistics + f64 combines on the host parity path); windows
+and genes run data-parallel over a jax.sharding.Mesh with the subject
+axis sharded via psum.
 """
 
 # float64 combines require x64; set before any JAX computation.
+import os as _os
+
 import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: windowed analyses reuse a handful of
+# bucketed kernel shapes across processes; caching them makes every run
+# after the first start in seconds.  Opt out with GAUSS_TPU_NO_CC=1.
+if not _os.environ.get("GAUSS_TPU_NO_CC"):
+    _cc = _os.environ.get(
+        "GAUSS_TPU_CC_DIR",
+        _os.path.join(_os.path.expanduser("~"), ".cache", "gauss_tpu_xla"))
+    try:
+        _os.makedirs(_cc, exist_ok=True)
+        _jax.config.update("jax_compilation_cache_dir", _cc)
+        _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:  # cache is an optimization, never fatal
+        pass
 
 from .config import Settings, ComputeOptions, PanelFiles  # noqa: E402
 from .models.dist import dist, distmix  # noqa: E402

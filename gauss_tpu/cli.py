@@ -43,7 +43,12 @@ def _ref_args(p: argparse.ArgumentParser, window: bool = True,
 
 
 def _read_pop_wgt(path: str) -> pd.DataFrame:
-    df = pd.read_csv(path, sep=r"\s+")
+    try:
+        df = pd.read_csv(path, sep=r"\s+")
+    except Exception as e:
+        raise SystemExit(
+            f"ERROR: cannot parse population-weight file '{path}' "
+            f"(expected columns: pop wgt): {e}")
     cols = [c.lower() for c in df.columns]
     if "pop" in cols and "wgt" in cols:
         return df[[df.columns[cols.index("pop")],

@@ -176,6 +176,14 @@ def init_pop_flag_wgts(desc: PopDesc, pop_wgt: Dict[str, float]):
         if p in pop_wgt:
             flags[i] = 1
             wgts.append(float(pop_wgt[p]))
+    unknown = set(pop_wgt) - set(desc.pops)
+    if unknown:
+        # reference aborts on a bad population name (src/gauss.cpp:1047-1050)
+        raise ValueError(
+            f"ERROR: invalid population name(s) {sorted(unknown)}; panel "
+            f"populations are {list(desc.pops)}")
+    if not wgts:
+        raise ValueError("ERROR: pop_wgt selects no panel populations")
     return flags, np.asarray(wgts, dtype=np.float64)
 
 

@@ -28,7 +28,8 @@ from ..config import PanelFiles, Settings, DEFAULT_SETTINGS
 from ..core import linalg, stats, variants
 from ..io import readers
 from ..io.panel import PanelReader, read_panel_index
-from ..ops.window_kernel import WindowKernelSpec, build_window_kernel
+from ..ops.window_kernel import (WindowKernelSpec, build_gather_window_kernel,
+                                 build_window_kernel)
 from ..utils.special import pnorm_two_sided
 
 import jax
@@ -183,8 +184,8 @@ class GenomeEngine:
             spec = WindowKernelSpec(
                 pop_sizes=sizes, pop_sizes_padded=sizes, wgts=wgts,
                 lam=self.settings.lambda_,
-                min_abs_eig=self.settings.min_abs_eig, exact=True)
-            fn = build_window_kernel(spec)
+                min_abs_eig=self.settings.min_abs_eig)
+            fn = build_gather_window_kernel(spec)
             self._fused_fns[key] = fn
         return fn
 
@@ -197,6 +198,18 @@ class PreparedRun:
     subj_cols: np.ndarray
     pop_sizes: Tuple[int, ...]
     wgts: Optional[Tuple[float, ...]]
+    _G_dev: Optional[jnp.ndarray] = None
+
+    def _device_panel(self) -> jnp.ndarray:
+        """Selected-population dosage matrix, uploaded to HBM once and
+        reused by every window (the SURVEY section 7 design point)."""
+        if self._G_dev is None:
+            G = self.engine.store.G
+            cols = self.subj_cols
+            full = len(cols) == G.shape[1] and bool(
+                np.array_equal(cols, np.arange(G.shape[1])))
+            self._G_dev = jnp.asarray(G if full else G[:, cols])
+        return self._G_dev
 
     def impute_window(self, start_bp: int, end_bp: int,
                       wing_size: int) -> Optional[WindowResult]:
@@ -216,13 +229,6 @@ class PreparedRun:
 
         bucket = eng.snp_bucket
         Mp, Up = _round_up(M, bucket), _round_up(U, bucket)
-        S = len(self.subj_cols)
-        Gm = np.zeros((1, Mp, S), dtype=np.int8)
-        Gu = np.zeros((1, Up, S), dtype=np.int8)
-        Gm[0, :M] = self.engine.store.G[np.ix_(self.g_row[m_rows],
-                                               self.subj_cols)]
-        Gu[0, :U] = self.engine.store.G[np.ix_(self.g_row[u_rows],
-                                               self.subj_cols)]
         Z1 = np.zeros((1, Mp))
         Z1[0, :M] = t["z"].to_numpy()[m_rows]
         m_mask = np.zeros((1, Mp), dtype=np.float32)
@@ -231,11 +237,25 @@ class PreparedRun:
         u_mask[0, :U] = 1
 
         if eng.device_linalg:
+            # device-resident panel: per window only index vectors and
+            # Z cross the host link; rows gather on-device
+            m_idx = np.zeros((1, Mp), dtype=np.int32)
+            u_idx = np.zeros((1, Up), dtype=np.int32)
+            m_idx[0, :M] = self.g_row[m_rows]
+            u_idx[0, :U] = self.g_row[u_rows]
             fn = eng._fused_fn(Mp, Up, self.pop_sizes, self.wgts)
-            z, info = fn(Gm, Gu, Z1, m_mask, u_mask)
+            z, info = fn(self._device_panel(), m_idx, u_idx,
+                         Z1, m_mask, u_mask)
             z = np.asarray(z)[0, :U].astype(np.float64)
             info = np.asarray(info)[0, :U].astype(np.float64)
         else:
+            S = len(self.subj_cols)
+            Gm = np.zeros((1, Mp, S), dtype=np.int8)
+            Gu = np.zeros((1, Up, S), dtype=np.int8)
+            Gm[0, :M] = self.engine.store.G[np.ix_(self.g_row[m_rows],
+                                                   self.subj_cols)]
+            Gu[0, :U] = self.engine.store.G[np.ix_(self.g_row[u_rows],
+                                                   self.subj_cols)]
             fn = eng._corr_fn(Mp, Up, self.pop_sizes, self.wgts)
             B11, B21 = fn(jnp.asarray(Gm[0]), jnp.asarray(Gu[0]))
             B11 = np.array(B11[:M, :M])

@@ -1,18 +1,47 @@
 """Fully-fused batched window kernels for dist/distmix imputation.
 
 This is the device fast path: a batch of fixed-shape (padded + masked)
-windows runs stats -> combine -> posdef-inverse -> imputation entirely
-on the accelerator in one jit.  The host-orchestrated API in
-models/dist.py is the float64 parity path; this kernel trades the last
-~1e-5 of agreement (float32 eigh/inverse) for zero host round-trips,
-and is what the genome-scale engine, the multi-chip shard_map wrapper
-(gauss_tpu/parallel) and the benchmark drive.
+windows runs stats -> combine -> solve -> imputation entirely on the
+accelerator in one jit.  The host-orchestrated API in models/dist.py is
+the float64 parity path; this kernel trades the last ~1e-5 of agreement
+for zero host round-trips, and is what the genome-scale engine, the
+multi-chip shard_map wrapper (gauss_tpu/parallel) and the benchmark
+drive.
+
+Numerical formulation (MXU-friendly, cancellation-free)
+-------------------------------------------------------
+The reference's weighted covariance (CalWgtCov, src/util.cpp:103-124) is
+
+    cov(x,y) = sum_k w_k f_k (m_k*Sxy - Sx*Sy)           f_k = m_k/(m_k-1)
+             + sum_k w_k xbar_k ybar_k
+             - (sum_k w_k xbar_k)(sum_k w_k ybar_k)
+
+The first (dominant) term suffers catastrophic cancellation when
+evaluated from raw sufficient statistics in float32, which is why a
+naive port needs float64 (emulated and slow on TPU).  We instead use
+the algebraic identity  m*Sxy - Sx*Sy = m * sum_s (x_s-xbar)(y_s-ybar)
+and evaluate the whole within-population term as ONE matmul over all
+subjects:
+
+    big(x,y) = H_x . H_y^T,   H[i,s] = coef_s * (g[i,s] - mu[i,pop(s)])
+    coef_s   = sqrt(w_k * m_k^2 / (m_k-1))   for s in population k
+
+Centered values are O(1), so float32 accumulation is stable (no large
+means to cancel); the MXU runs it at full speed with Precision.HIGHEST.
+The remaining mean-product terms are tiny [N,P] contractions.  The
+unweighted pooled CalCor (src/util.cpp:49-70) is the same with a single
+pooled mean and coef=1.
+
+Solves: B11 = R + lam*I with R a (weighted) correlation Gram matrix,
+which is PSD up to rounding, so min eig(B11) >= lam = 0.1 >> the
+MakePosDef clip threshold 1e-5 (src/util.cpp:302-318) -- the clip never
+fires and a Cholesky solve is numerically equivalent to the reference's
+eigh-clip + LU-inverse.  spec.solver="eigh" keeps the literal
+MakePosDef semantics available.
 
 Masking contract (all padding is EXACT, not approximate):
-* subject padding: zero dosage columns contribute exactly 0 to every
-  sufficient statistic (S = sum g, Q = sum g^2, C = sum g_i g_j), and
-  population sizes m_k always use the TRUE subject counts -> padded
-  subjects change nothing.
+* subject padding: padded columns get coef=0 -> contribute exactly 0 to
+  every statistic, while population sizes use the TRUE subject counts.
 * SNP padding: masked measured rows get identity rows/cols in B11 and
   zero Z1 entries; masked unmeasured rows emit garbage that callers
   drop via the mask.
@@ -30,6 +59,8 @@ import numpy as np
 
 from ..core import stats
 
+_HI = jax.lax.Precision.HIGHEST
+
 
 @dataclasses.dataclass(frozen=True)
 class WindowKernelSpec:
@@ -40,7 +71,7 @@ class WindowKernelSpec:
     wgts: Optional[Tuple[float, ...]]  # None -> unweighted (dist)
     lam: float = 0.1
     min_abs_eig: float = 1e-5
-    exact: bool = True                # f64 combines (TPU: emulated ew ops)
+    solver: str = "cholesky"          # "cholesky" | "eigh" (MakePosDef)
 
     @property
     def bounds(self) -> np.ndarray:
@@ -65,134 +96,156 @@ def pad_pop_segments(G: np.ndarray, pop_sizes: Sequence[int],
     return np.concatenate(segs, axis=-1), tuple(padded)
 
 
-# ---------------------------------------------------------------------------
-# batched statistics
-# ---------------------------------------------------------------------------
+def subject_static_arrays(spec: WindowKernelSpec
+                          ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static per-subject-column arrays for the *unsharded* layout:
+    (pop_idx [S] int32, valid [S] f32, onehot [S, P] f32).
 
-def _batched_pop_stats(Ga, Gb, spec: WindowKernelSpec, axis_name=None):
-    """Per-pop batched cross products and row stats.
-
-    Ga: [W, Na, S], Gb: [W, Nb, S] (S possibly a local shard).
-    Returns (C [P, W, Na, Nb], Sa [P, W, Na], Sb, Qa, Qb) f32 exact,
-    psum-reduced over ``axis_name`` when set.
+    Valid columns are the first ``pop_sizes[k]`` of each padded segment.
     """
-    bounds = spec.bounds
     P = len(spec.pop_sizes)
-    Cs, Sas, Sbs, Qas, Qbs = [], [], [], [], []
+    bounds = spec.bounds
+    S = int(bounds[-1])
+    pop_idx = np.zeros(S, dtype=np.int32)
+    valid = np.zeros(S, dtype=np.float32)
     for k in range(P):
-        ga = Ga[..., int(bounds[k]):int(bounds[k + 1])].astype(jnp.float32)
-        gb = Gb[..., int(bounds[k]):int(bounds[k + 1])].astype(jnp.float32)
-        Cs.append(jnp.einsum("wns,wms->wnm", ga, gb,
-                             preferred_element_type=jnp.float32))
-        Sas.append(jnp.sum(ga, axis=2))
-        Sbs.append(jnp.sum(gb, axis=2))
-        Qas.append(jnp.sum(ga * ga, axis=2))
-        Qbs.append(jnp.sum(gb * gb, axis=2))
-    out = (jnp.stack(Cs), jnp.stack(Sas), jnp.stack(Sbs),
-           jnp.stack(Qas), jnp.stack(Qbs))
-    if axis_name is not None:
-        out = tuple(jax.lax.psum(o, axis_name) for o in out)
-    return out
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        pop_idx[lo:hi] = k
+        valid[lo:lo + int(spec.pop_sizes[k])] = 1.0
+    onehot = np.zeros((S, P), dtype=np.float32)
+    onehot[np.arange(S), pop_idx] = valid
+    return pop_idx, valid, onehot
 
 
-def _combine_weighted(C, Sa, Sb, Qa, Qb, spec: WindowKernelSpec):
-    """CalWgtCov-based correlation blocks from per-pop stats.
-
-    Returns (corr [W, Na, Nb], var_a [W, Na], var_b [W, Nb]) in the
-    combine dtype (f64 exact / f32 fast-centered).
-    """
-    m = np.asarray(spec.pop_sizes, dtype=np.float64)
-    w = np.asarray(spec.wgts, dtype=np.float64)
-    factor = m / (m - 1.0)
-    dt = jnp.float64 if spec.exact else jnp.float32
-    P = len(m)
-    W_, Na, Nb = C.shape[1], C.shape[2], C.shape[3]
-    cov = jnp.zeros((W_, Na, Nb), dtype=dt)
-    mimj = jnp.zeros((W_, Na, Nb), dtype=dt)
-    mi = jnp.zeros((W_, Na), dtype=dt)
-    mj = jnp.zeros((W_, Nb), dtype=dt)
-    va = jnp.zeros((W_, Na), dtype=dt)
-    vai = jnp.zeros((W_, Na), dtype=dt)
-    vb = jnp.zeros((W_, Nb), dtype=dt)
-    vbi = jnp.zeros((W_, Nb), dtype=dt)
-    for k in range(P):
-        sa = Sa[k].astype(dt)
-        sb = Sb[k].astype(dt)
-        qa = Qa[k].astype(dt)
-        qb = Qb[k].astype(dt)
-        Ck = C[k].astype(dt)
-        wf = w[k] * factor[k]
-        cov = cov + wf * (m[k] * Ck - sa[:, :, None] * sb[:, None, :])
-        mimj = mimj + (w[k] * (sa / m[k]))[:, :, None] * (sb / m[k])[:, None, :]
-        mi = mi + w[k] * (sa / m[k])
-        mj = mj + w[k] * (sb / m[k])
-        va = va + wf * (m[k] * qa - sa * sa)
-        vai = vai + (w[k] * (sa / m[k])) * (sa / m[k])
-        vb = vb + wf * (m[k] * qb - sb * sb)
-        vbi = vbi + (w[k] * (sb / m[k])) * (sb / m[k])
-    cov = (cov + mimj) - mi[:, :, None] * mj[:, None, :]
-    var_a = (va + vai) - (mi * mi)
-    var_b = (vb + vbi) - (mj * mj)
-    return cov, var_a, var_b
+def _center_coef(spec: WindowKernelSpec, pop_idx: np.ndarray,
+                 valid) -> jnp.ndarray:
+    """Per-subject coefficient sqrt(w_k m_k^2/(m_k-1)) (weighted) or 1
+    (pooled), zeroed on padded columns.  ``valid`` may be traced."""
+    if spec.wgts is not None:
+        m = np.asarray(spec.pop_sizes, dtype=np.float64)
+        w = np.asarray(spec.wgts, dtype=np.float64)
+        alpha = np.sqrt(w * m * m / (m - 1.0)).astype(np.float32)
+        base = alpha[pop_idx]
+    else:
+        base = np.ones(len(pop_idx), dtype=np.float32)
+    return jnp.asarray(base) * valid
 
 
-def _combine_pooled(C, Sa, Sb, Qa, Qb, spec: WindowKernelSpec):
-    """Unweighted pooled CalCor blocks (dist)."""
-    dt = jnp.float64 if spec.exact else jnp.float32
-    n = float(sum(spec.pop_sizes))
-    sa = jnp.sum(Sa, axis=0).astype(dt)
-    sb = jnp.sum(Sb, axis=0).astype(dt)
-    qa = jnp.sum(Qa, axis=0).astype(dt)
-    qb = jnp.sum(Qb, axis=0).astype(dt)
-    Cp = jnp.sum(C, axis=0).astype(dt)
-    numer = n * Cp - sa[:, :, None] * sb[:, None, :]
-    var_a = n * qa - sa * sa
-    var_b = n * qb - sb * sb
-    return numer, var_a, var_b  # note: scaled cov; corr divides the stds out
+def _pop_sums(G_f, onehot):
+    """Exact per-pop row sums S[W, N, P] via one MXU matmul (integers
+    < 2^24 are exact in f32 regardless of pass precision)."""
+    return jnp.einsum("wns,sp->wnp", G_f, onehot,
+                      preferred_element_type=jnp.float32)
+
+
+def _centered(G_f, mu, pop_idx, coef):
+    """H[w,n,s] = coef_s * (g - mu[w,n,pop(s)])."""
+    mu_s = jnp.take(mu, jnp.asarray(pop_idx), axis=2)
+    return (G_f - mu_s) * coef[None, None, :]
 
 
 def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
-                  axis_name: Optional[str] = None):
+                  axis_name: Optional[str] = None,
+                  subject_valid: Optional[jnp.ndarray] = None):
     """Batched dist/distmix imputation.
 
     Gm: [W, Mp, S] int8, Gu: [W, Up, S] int8, Z1: [W, Mp] f64/f32,
-    masks: [W, Mp]/[W, Up] (1 = real SNP).  Returns (z [W, Up],
-    info [W, Up]) in f32, garbage where u_mask == 0.
+    masks: [W, Mp]/[W, Up] (1 = real SNP).  ``subject_valid`` [S] f32
+    overrides the static validity mask (needed under shard_map where
+    each shard's padding differs).  Returns (z [W, Up], info [W, Up])
+    in f32, garbage where u_mask == 0.
     """
-    C_mm, S_m, S_m2, Q_m, _ = _batched_pop_stats(Gm, Gm, spec, axis_name)
-    C_um, S_u, _, Q_u, _ = _batched_pop_stats(Gu, Gm, spec, axis_name)
+    pop_idx, valid_np, onehot_np = subject_static_arrays(spec)
+    valid = jnp.asarray(valid_np) if subject_valid is None else subject_valid
+    coef = _center_coef(spec, pop_idx, valid)
+    onehot = (jnp.asarray(onehot_np) if subject_valid is None
+              else jax.nn.one_hot(jnp.asarray(pop_idx),
+                                  len(spec.pop_sizes),
+                                  dtype=jnp.float32) * valid[:, None])
+    psum = ((lambda x: x) if axis_name is None
+            else (lambda x: jax.lax.psum(x, axis_name)))
+    # Combines stay in f32: the big centered matmul dominates the error
+    # budget (~1e-6 relative), and the small mean-product terms are O(1)
+    # magnitudes.  f64 here would be emulated on TPU (20-30x slower AND
+    # ~30x the compile time) for < 1e-7 of additional agreement; the
+    # host-orchestrated path (models/dist.py) is the f64 parity mode.
+    dt = jnp.float32
+
+    Gm_f = Gm.astype(jnp.float32)
+    Gu_f = Gu.astype(jnp.float32)
 
     if spec.wgts is not None:
-        cov_mm, var_m, _ = _combine_weighted(C_mm, S_m, S_m, Q_m, Q_m, spec)
-        cov_um, var_u, _ = _combine_weighted(C_um, S_u, S_m, Q_u, Q_m, spec)
-    else:
-        cov_mm, var_m, _ = _combine_pooled(C_mm, S_m, S_m, Q_m, Q_m, spec)
-        cov_um, var_u, _ = _combine_pooled(C_um, S_u, S_m, Q_u, Q_m, spec)
+        m = np.asarray(spec.pop_sizes, dtype=np.float64)
+        w = jnp.asarray(np.asarray(spec.wgts, dtype=np.float64), dtype=dt)
+        S_m = psum(_pop_sums(Gm_f, onehot))          # [W, Mp, P] exact
+        S_u = psum(_pop_sums(Gu_f, onehot))
+        mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
+        mu_u = S_u / jnp.asarray(m, dtype=jnp.float32)
+        Hm = _centered(Gm_f, mu_m, pop_idx, coef)
+        Hu = _centered(Gu_f, mu_u, pop_idx, coef)
+        big_mm = psum(jnp.einsum("wms,wns->wmn", Hm, Hm, precision=_HI,
+                                 preferred_element_type=jnp.float32))
+        big_um = psum(jnp.einsum("wus,wms->wum", Hu, Hm, precision=_HI,
+                                 preferred_element_type=jnp.float32))
+        vu_big = psum(jnp.sum(Hu * Hu, axis=2))
 
-    dt = cov_mm.dtype
+        # tiny mean-product terms, in the reference's formula (f64 opt.)
+        mu_m = mu_m.astype(dt)
+        mu_u = mu_u.astype(dt)
+        mi_m = mu_m @ w                               # [W, Mp]
+        mi_u = mu_u @ w
+        mimj_mm = jnp.einsum("wmp,p,wnp->wmn", mu_m, w, mu_m)
+        mimj_um = jnp.einsum("wup,p,wmp->wum", mu_u, w, mu_m)
+        cov_mm = (big_mm.astype(dt) + mimj_mm) - mi_m[:, :, None] * mi_m[:, None, :]
+        cov_um = (big_um.astype(dt) + mimj_um) - mi_u[:, :, None] * mi_m[:, None, :]
+        var_m = jnp.einsum("wii->wi", cov_mm)
+        var_u = ((vu_big.astype(dt) + jnp.einsum("wup,p->wu", mu_u * mu_u, w))
+                 - mi_u * mi_u)
+    else:
+        n = float(sum(spec.pop_sizes))
+        s_m = psum(jnp.sum(Gm_f * valid[None, None, :], axis=2))  # [W, Mp]
+        s_u = psum(jnp.sum(Gu_f * valid[None, None, :], axis=2))
+        mu_m = (s_m / n)[:, :, None]
+        mu_u = (s_u / n)[:, :, None]
+        Hm = (Gm_f - mu_m) * valid[None, None, :]
+        Hu = (Gu_f - mu_u) * valid[None, None, :]
+        cov_mm = psum(jnp.einsum("wms,wns->wmn", Hm, Hm, precision=_HI,
+                                 preferred_element_type=jnp.float32)).astype(dt)
+        cov_um = psum(jnp.einsum("wus,wms->wum", Hu, Hm, precision=_HI,
+                                 preferred_element_type=jnp.float32)).astype(dt)
+        var_m = jnp.einsum("wii->wi", cov_mm)
+        var_u = psum(jnp.sum(Hu * Hu, axis=2)).astype(dt)
+
     # stds; padded rows have zero variance -> force 1 to stay finite
-    std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m.astype(dt), 1.0))
-    std_u = jnp.sqrt(jnp.where(u_mask > 0, var_u.astype(dt), 1.0))
+    std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m, 1.0))
+    std_u = jnp.sqrt(jnp.where(u_mask > 0, var_u, 1.0))
     B11 = cov_mm / (std_m[:, :, None] * std_m[:, None, :])
     B21 = cov_um / (std_u[:, :, None] * std_m[:, None, :])
 
     # mask: identity rows/cols for padded measured SNPs, ridge diagonal
-    mm = (m_mask[:, :, None] * m_mask[:, None, :]).astype(dt)
+    mm = (m_mask[:, :, None] * m_mask[:, None, :]).astype(B11.dtype)
     B11 = B11 * mm
-    eye = jnp.eye(B11.shape[1], dtype=dt)
+    eye = jnp.eye(B11.shape[1], dtype=B11.dtype)
     B11 = B11 * (1.0 - eye) + (1.0 + spec.lam) * eye
-    B21 = B21 * (u_mask[:, :, None] * m_mask[:, None, :]).astype(dt)
+    B21 = B21 * (u_mask[:, :, None] * m_mask[:, None, :]).astype(B21.dtype)
 
-    # linear algebra in f32 on device (parity path does f64 on host)
+    # dense solves in f32 on device (parity path does f64 on host)
     B11f = B11.astype(jnp.float32)
     B21f = B21.astype(jnp.float32)
-    w_eig, v = jnp.linalg.eigh(B11f)
-    w_clip = jnp.maximum(w_eig, spec.min_abs_eig)
-    # MakePosDef + inverse fused through the same eigendecomposition
-    B11inv = jnp.einsum("wik,wk,wjk->wij", v, 1.0 / w_clip, v,
-                        preferred_element_type=jnp.float32)
-    A = jnp.einsum("wum,wmn->wun", B21f, B11inv,
-                   preferred_element_type=jnp.float32)
+    if spec.solver == "eigh":
+        # literal MakePosDef (eigval clip) + inverse, fused through eigh
+        w_eig, v = jnp.linalg.eigh(B11f)
+        w_clip = jnp.maximum(w_eig, spec.min_abs_eig)
+        B11inv = jnp.einsum("wik,wk,wjk->wij", v, 1.0 / w_clip, v,
+                            preferred_element_type=jnp.float32)
+        A = jnp.einsum("wum,wmn->wun", B21f, B11inv,
+                       preferred_element_type=jnp.float32)
+    else:
+        # B11 = PSD + lam*I  =>  min eig >= lam >> min_abs_eig: the
+        # MakePosDef clip is a no-op and Cholesky solves are equivalent.
+        L = jnp.linalg.cholesky(B11f)
+        X = jax.scipy.linalg.cho_solve((L, True), B21f.transpose(0, 2, 1))
+        A = X.transpose(0, 2, 1)
     z2 = jnp.einsum("wum,wm->wu", A, Z1.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     info = jnp.abs(jnp.einsum("wum,wum->wu", A, B21f,
@@ -205,3 +258,28 @@ def build_window_kernel(spec: WindowKernelSpec, axis_name=None):
     """Return a jitted (Gm, Gu, Z1, m_mask, u_mask) -> (z, info) kernel."""
     fn = partial(window_impute, spec=spec, axis_name=axis_name)
     return jax.jit(fn) if axis_name is None else fn
+
+
+def build_gather_window_kernel(spec: WindowKernelSpec):
+    """Device-resident variant: the decoded panel stays in HBM and each
+    window is materialized by an on-device row gather, so only index
+    vectors cross the host link per window.
+
+    Returns jitted (G_dev [R, S] int8, m_idx [W, Mp] i32, u_idx [W, Up]
+    i32, Z1, m_mask, u_mask) -> (z, info).  Padded index entries may be
+    any valid row (use 0): gathered garbage rows are fully neutralized
+    by the masks inside window_impute.
+
+    The gather is jitted separately from the impute kernel: fusing a
+    row gather over the whole panel into the window program makes XLA's
+    fusion search pathologically slow (~6x compile time observed).
+    """
+    gather = jax.jit(lambda G, idx: jnp.take(G, idx, axis=0))
+    impute = jax.jit(partial(window_impute, spec=spec))
+
+    def fn(G_dev, m_idx, u_idx, Z1, m_mask, u_mask):
+        Gm = gather(G_dev, m_idx)
+        Gu = gather(G_dev, u_idx)
+        return impute(Gm, Gu, Z1, m_mask, u_mask)
+
+    return fn

@@ -56,6 +56,16 @@ def subject_shard_layout(G: np.ndarray, pop_sizes: Sequence[int],
     return np.concatenate(blocks, axis=-1), padded, locs
 
 
+def subject_valid_layout(pop_sizes: Sequence[int],
+                         n_shards: int) -> np.ndarray:
+    """Per-column validity mask [S_layout] matching subject_shard_layout:
+    1 for real subjects, 0 for divisibility padding (which lands in the
+    tail shards of each population segment)."""
+    ones = np.ones((1, int(sum(pop_sizes))), dtype=np.float32)
+    v, _, _ = subject_shard_layout(ones, pop_sizes, n_shards)
+    return v[0]
+
+
 def sharded_window_impute(
     mesh: Mesh,
     Gm: np.ndarray,            # [W, Mp, S_layout] int8 (subject-shard layout)
@@ -68,7 +78,6 @@ def sharded_window_impute(
     wgts: Optional[Sequence[float]],
     lam: float = 0.1,
     min_abs_eig: float = 1e-5,
-    exact: bool = True,
 ):
     """Run the batched window-imputation kernel over a (window, subject)
     mesh.  W must divide by the window-axis size; the subject axis of
@@ -77,16 +86,23 @@ def sharded_window_impute(
         pop_sizes=tuple(int(x) for x in true_pop_sizes),
         pop_sizes_padded=tuple(int(x) for x in local_pop_sizes),
         wgts=tuple(float(x) for x in wgts) if wgts is not None else None,
-        lam=lam, min_abs_eig=min_abs_eig, exact=exact,
+        lam=lam, min_abs_eig=min_abs_eig,
     )
-    fn = partial(window_impute, spec=spec, axis_name="subject")
+    n_sub = mesh.shape["subject"]
+    valid = subject_valid_layout(true_pop_sizes, n_sub)
+
+    def fn(Gm, Gu, Z1, m_mask, u_mask, subj_valid):
+        return window_impute(Gm, Gu, Z1, m_mask, u_mask, spec=spec,
+                             axis_name="subject", subject_valid=subj_valid)
+
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P("window", None, "subject"), P("window", None, "subject"),
-                  P("window", None), P("window", None), P("window", None)),
+                  P("window", None), P("window", None), P("window", None),
+                  P("subject")),
         out_specs=(P("window", None), P("window", None)),
     )
     jfn = jax.jit(sharded)
     return jfn(jnp.asarray(Gm), jnp.asarray(Gu), jnp.asarray(Z1),
-               jnp.asarray(m_mask), jnp.asarray(u_mask))
+               jnp.asarray(m_mask), jnp.asarray(u_mask), jnp.asarray(valid))

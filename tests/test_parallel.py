@@ -36,7 +36,7 @@ def _toy(n_windows=2, M=20, U=12, seed=3):
 def test_window_kernel_matches_host_oracle():
     Gm, Gu, Z1, m_mask, u_mask = _toy()
     spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
-                            wgts=WGTS, exact=True)
+                            wgts=WGTS)
     z, info = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
     z, info = np.asarray(z), np.asarray(info)
     for w in range(Gm.shape[0]):
@@ -55,7 +55,7 @@ def test_window_kernel_matches_host_oracle():
 def test_window_kernel_unweighted():
     Gm, Gu, Z1, m_mask, u_mask = _toy(seed=5)
     spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
-                            wgts=None, exact=True)
+                            wgts=None)
     z, info = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
     z = np.asarray(z)
     for w in range(Gm.shape[0]):
@@ -71,16 +71,19 @@ def test_subject_padding_is_exact():
     """Zero subject columns must change nothing (true pop sizes used)."""
     Gm, Gu, Z1, m_mask, u_mask = _toy(seed=7)
     spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
-                            wgts=WGTS, exact=True)
+                            wgts=WGTS)
     z0, _ = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
 
     Gm_p, padded = pad_pop_segments(Gm, POP_SIZES, multiple=8)
     Gu_p, _ = pad_pop_segments(Gu, POP_SIZES, multiple=8)
     spec_p = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=padded,
-                              wgts=WGTS, exact=True)
+                              wgts=WGTS)
     z1, _ = build_window_kernel(spec_p)(Gm_p, Gu_p, Z1, m_mask, u_mask)
+    # padded columns contribute exactly 0 (coef=0), but the f32 matmul's
+    # accumulation order over the longer subject axis differs -> not
+    # bitwise, only fp-reordering noise
     np.testing.assert_allclose(np.asarray(z0), np.asarray(z1),
-                               rtol=1e-6, atol=1e-7)
+                               rtol=2e-5, atol=2e-6)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
@@ -94,7 +97,7 @@ def test_sharded_matches_single_device():
         mesh, Gm_l, Gu_l, Z1, m_mask, u_mask,
         true_pop_sizes=POP_SIZES, local_pop_sizes=locs, wgts=WGTS)
     spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
-                            wgts=WGTS, exact=True)
+                            wgts=WGTS)
     z1, info1 = build_window_kernel(spec)(Gm, Gu, Z1, m_mask, u_mask)
     real = u_mask > 0
     np.testing.assert_allclose(np.asarray(z)[real], np.asarray(z1)[real],
