@@ -211,12 +211,21 @@ class PreparedRun:
             self._G_dev = jnp.asarray(G if full else G[:, cols])
         return self._G_dev
 
-    def impute_window(self, start_bp: int, end_bp: int,
-                      wing_size: int) -> Optional[WindowResult]:
-        """Impute one prediction window (reference semantics of
-        run_distmix, src/distmix.cpp:138-253)."""
-        eng = self.engine
-        st = eng.settings
+    def _dispatch_device(self, m_rows, u_rows, M, U, Mp, Up, Z1,
+                         m_mask, u_mask):
+        """Launch the fused kernel asynchronously; returns lazy device
+        arrays (z, info).  Only index vectors + Z cross the host link."""
+        m_idx = np.zeros((1, Mp), dtype=np.int32)
+        u_idx = np.zeros((1, Up), dtype=np.int32)
+        m_idx[0, :M] = self.g_row[m_rows]
+        u_idx[0, :U] = self.g_row[u_rows]
+        fn = self.engine._fused_fn(Mp, Up, self.pop_sizes, self.wgts)
+        return fn(self._device_panel(), m_idx, u_idx, Z1, m_mask, u_mask)
+
+    def _window_plan(self, start_bp: int, end_bp: int, wing_size: int):
+        """Row selection for one window, or None if below the reference
+        minimum SNP counts (src/dist.cpp:145-151)."""
+        st = self.engine.settings
         t = self.table
         bp = t["bp"].to_numpy()
         typ = t["type"].to_numpy()
@@ -226,8 +235,7 @@ class PreparedRun:
         M, U = len(m_rows), len(u_rows)
         if M <= st.min_num_measured_snp or U <= st.min_num_unmeasured_snp:
             return None
-
-        bucket = eng.snp_bucket
+        bucket = self.engine.snp_bucket
         Mp, Up = _round_up(M, bucket), _round_up(U, bucket)
         Z1 = np.zeros((1, Mp))
         Z1[0, :M] = t["z"].to_numpy()[m_rows]
@@ -235,17 +243,23 @@ class PreparedRun:
         u_mask = np.zeros((1, Up), dtype=np.float32)
         m_mask[0, :M] = 1
         u_mask[0, :U] = 1
+        return m_rows, u_rows, M, U, Mp, Up, Z1, m_mask, u_mask
+
+    def impute_window(self, start_bp: int, end_bp: int,
+                      wing_size: int) -> Optional[WindowResult]:
+        """Impute one prediction window (reference semantics of
+        run_distmix, src/distmix.cpp:138-253)."""
+        eng = self.engine
+        st = eng.settings
+        t = self.table
+        plan = self._window_plan(start_bp, end_bp, wing_size)
+        if plan is None:
+            return None
+        m_rows, u_rows, M, U, Mp, Up, Z1, m_mask, u_mask = plan
 
         if eng.device_linalg:
-            # device-resident panel: per window only index vectors and
-            # Z cross the host link; rows gather on-device
-            m_idx = np.zeros((1, Mp), dtype=np.int32)
-            u_idx = np.zeros((1, Up), dtype=np.int32)
-            m_idx[0, :M] = self.g_row[m_rows]
-            u_idx[0, :U] = self.g_row[u_rows]
-            fn = eng._fused_fn(Mp, Up, self.pop_sizes, self.wgts)
-            z, info = fn(self._device_panel(), m_idx, u_idx,
-                         Z1, m_mask, u_mask)
+            z, info = self._dispatch_device(m_rows, u_rows, M, U, Mp, Up,
+                                            Z1, m_mask, u_mask)
             z = np.asarray(z)[0, :U].astype(np.float64)
             info = np.asarray(info)[0, :U].astype(np.float64)
         else:
@@ -267,7 +281,14 @@ class PreparedRun:
             info = np.abs(np.einsum("um,um->u", A, B21))
             z = z2 / np.sqrt(info)
 
-        # assemble output rows for the prediction window
+        return self._assemble(start_bp, end_bp, u_rows, z, info, M, U)
+
+    def _assemble(self, start_bp, end_bp, u_rows, z, info, M, U
+                  ) -> WindowResult:
+        """Output rows for the prediction window (pval = 2*Phi(-|z|),
+        src/distmix.cpp:100-134)."""
+        t = self.table
+        bp = t["bp"].to_numpy()
         out_z = t["z"].to_numpy().copy()
         out_info = t["info"].to_numpy().copy()
         out_z[u_rows] = z
@@ -294,15 +315,47 @@ class PreparedRun:
                       window_bp: int = 1_000_000,
                       wing_size: int = 500_000) -> pd.DataFrame:
         """Tile [start_bp, end_bp] with non-overlapping prediction windows
-        (plus wings) and impute them all."""
-        frames = []
+        (plus wings) and impute them all.
+
+        On the device path all windows are dispatched asynchronously
+        before any result is fetched, so the per-call host-link latency
+        overlaps with device compute instead of serializing with it.
+        """
+        spans = []
         lo = start_bp
         while lo <= end_bp:
             hi = min(lo + window_bp - 1, end_bp)
-            r = self.impute_window(lo, hi, wing_size)
-            if r is not None:
-                frames.append(r.table)
+            spans.append((lo, hi))
             lo = hi + 1
+
+        frames = []
+        if self.engine.device_linalg:
+            pending = []
+            for lo, hi in spans:
+                plan = self._window_plan(lo, hi, wing_size)
+                if plan is None:
+                    continue
+                m_rows, u_rows, M, U, Mp, Up, Z1, m_mask, u_mask = plan
+                z, info = self._dispatch_device(m_rows, u_rows, M, U,
+                                                Mp, Up, Z1, m_mask, u_mask)
+                pending.append((lo, hi, u_rows, M, U, z, info))
+            for _, _, _, _, _, z, info in pending:
+                # overlap all device->host copies before any blocking read
+                for a in (z, info):
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        break
+            for lo, hi, u_rows, M, U, z, info in pending:
+                zf = np.asarray(z)[0, :U].astype(np.float64)
+                inf = np.asarray(info)[0, :U].astype(np.float64)
+                frames.append(self._assemble(lo, hi, u_rows, zf, inf,
+                                             M, U).table)
+        else:
+            for lo, hi in spans:
+                r = self.impute_window(lo, hi, wing_size)
+                if r is not None:
+                    frames.append(r.table)
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)
