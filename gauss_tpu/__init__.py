@@ -73,6 +73,8 @@ def __getattr__(name):
         "jepeg": ("gauss_tpu.models.jepeg", "jepeg"),
         "jepegmix": ("gauss_tpu.models.jepeg", "jepegmix"),
         "fiqt": ("gauss_tpu.models.fiqt", "fiqt"),
+        "PGC2_SCZ_ANC_Prop": ("gauss_tpu.data", "PGC2_SCZ_ANC_Prop"),
+        "pgc2_scz_anc_prop": ("gauss_tpu.data", "pgc2_scz_anc_prop"),
     }
     if name in lazy:
         import importlib

@@ -188,10 +188,23 @@ def init_pop_flag_wgts(desc: PopDesc, pop_wgt: Dict[str, float]):
 
 
 def pop_wgt_map_from_df(pop_wgt_df: pd.DataFrame) -> Dict[str, float]:
-    """First column = pop id (upper-cased), second = weight
-    (reference: src/distmix.cpp:48-54)."""
-    pops = pop_wgt_df.iloc[:, 0].astype(str).str.upper()
-    wgts = pop_wgt_df.iloc[:, 1].astype(float)
+    """Population-weight map from a data frame.
+
+    The reference reads columns positionally -- [0]=pop, [1]=weight,
+    upper-cased (src/distmix.cpp:48-54) -- which breaks when fed the
+    3-column afmix() output (sup.pop, pop, wgt).  We prefer columns
+    NAMED pop/wgt (case-insensitive) when present so both the bundled
+    2-column object and afmix output work, falling back to the
+    reference's positional convention.
+    """
+    cols = [str(c).lower() for c in pop_wgt_df.columns]
+    if "pop" in cols and "wgt" in cols:
+        pcol = pop_wgt_df.columns[cols.index("pop")]
+        wcol = pop_wgt_df.columns[cols.index("wgt")]
+    else:
+        pcol, wcol = pop_wgt_df.columns[0], pop_wgt_df.columns[1]
+    pops = pop_wgt_df[pcol].astype(str).str.upper()
+    wgts = pop_wgt_df[wcol].astype(float)
     return dict(zip(pops, wgts))
 
 
