@@ -29,7 +29,7 @@ from ..core import linalg, stats, variants
 from ..io import readers
 from ..io.panel import PanelReader, read_panel_index
 from ..ops.window_kernel import (WindowKernelSpec, build_gather_window_kernel,
-                                 build_window_kernel)
+                                 build_region_kernel, build_window_kernel)
 from ..utils.special import pnorm_two_sided
 
 import jax
@@ -103,11 +103,13 @@ class GenomeEngine:
     def __init__(self, store: PanelStore,
                  settings: Settings = DEFAULT_SETTINGS,
                  snp_bucket: int = 256,
-                 device_linalg: bool = False):
+                 device_linalg: bool = False,
+                 window_bucket: int = 8):
         self.store = store
         self.settings = settings
         self.snp_bucket = snp_bucket
         self.device_linalg = device_linalg
+        self.window_bucket = window_bucket
         self._corr_fns: Dict = {}
         self._fused_fns: Dict = {}
 
@@ -186,6 +188,18 @@ class GenomeEngine:
                 lam=self.settings.lambda_,
                 min_abs_eig=self.settings.min_abs_eig)
             fn = build_gather_window_kernel(spec)
+            self._fused_fns[key] = fn
+        return fn
+
+    def _region_fn(self, sizes, wgts):
+        key = ("region", sizes, wgts)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            spec = WindowKernelSpec(
+                pop_sizes=sizes, pop_sizes_padded=sizes, wgts=wgts,
+                lam=self.settings.lambda_,
+                min_abs_eig=self.settings.min_abs_eig)
+            fn = build_region_kernel(spec)
             self._fused_fns[key] = fn
         return fn
 
@@ -330,27 +344,53 @@ class PreparedRun:
 
         frames = []
         if self.engine.device_linalg:
-            pending = []
+            # All windows of the region run as ONE on-device scan
+            # (build_region_kernel) at a unified bucketed (Mp, Up) shape:
+            # a single index upload + launch + z/info fetch for the whole
+            # region instead of one round trip per window -- the host
+            # link, not the compute, is the bottleneck on tunneled
+            # devices.  A unified shape also avoids fragmenting the batch
+            # into per-shape groups that each pay window_bucket padding.
+            plans = []
             for lo, hi in spans:
                 plan = self._window_plan(lo, hi, wing_size)
-                if plan is None:
-                    continue
-                m_rows, u_rows, M, U, Mp, Up, Z1, m_mask, u_mask = plan
-                z, info = self._dispatch_device(m_rows, u_rows, M, U,
-                                                Mp, Up, Z1, m_mask, u_mask)
-                pending.append((lo, hi, u_rows, M, U, z, info))
-            for _, _, _, _, _, z, info in pending:
-                # overlap all device->host copies before any blocking read
+                if plan is not None:
+                    plans.append((lo, hi, plan))
+            if plans:
+                Mp = max(p[2][4] for p in plans)
+                Up = max(p[2][5] for p in plans)
+                W = len(plans)
+                Wp = _round_up(W, self.engine.window_bucket)
+                t = self.table
+                zcol = t["z"].to_numpy()
+                m_idx = np.zeros((Wp, Mp), dtype=np.int32)
+                u_idx = np.zeros((Wp, Up), dtype=np.int32)
+                Z1b = np.zeros((Wp, Mp))
+                m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+                u_maskb = np.zeros((Wp, Up), dtype=np.float32)
+                for i, (_, _, plan) in enumerate(plans):
+                    m_rows, u_rows, M, U, *_ = plan
+                    m_idx[i, :M] = self.g_row[m_rows]
+                    u_idx[i, :U] = self.g_row[u_rows]
+                    Z1b[i, :M] = zcol[m_rows]
+                    m_maskb[i, :M] = 1.0
+                    u_maskb[i, :U] = 1.0
+                fn = self.engine._region_fn(self.pop_sizes, self.wgts)
+                z, info = fn(self._device_panel(), m_idx, u_idx, Z1b,
+                             m_maskb, u_maskb)
                 for a in (z, info):
                     try:
                         a.copy_to_host_async()
                     except AttributeError:
                         break
-            for lo, hi, u_rows, M, U, z, info in pending:
-                zf = np.asarray(z)[0, :U].astype(np.float64)
-                inf = np.asarray(info)[0, :U].astype(np.float64)
-                frames.append(self._assemble(lo, hi, u_rows, zf, inf,
-                                             M, U).table)
+                z = np.asarray(z)
+                info = np.asarray(info)
+                for i, (lo, hi, plan) in enumerate(plans):
+                    m_rows, u_rows, M, U, *_ = plan
+                    zf = z[i, :U].astype(np.float64)
+                    inf = info[i, :U].astype(np.float64)
+                    frames.append(self._assemble(lo, hi, u_rows, zf, inf,
+                                                 M, U).table)
         else:
             for lo, hi in spans:
                 r = self.impute_window(lo, hi, wing_size)

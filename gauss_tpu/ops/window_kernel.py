@@ -72,6 +72,7 @@ class WindowKernelSpec:
     lam: float = 0.1
     min_abs_eig: float = 1e-5
     solver: str = "cholesky"          # "cholesky" | "eigh" (MakePosDef)
+    stats: str = "int8"               # "int8" | "centered" big-term path
 
     @property
     def bounds(self) -> np.ndarray:
@@ -144,6 +145,64 @@ def _centered(G_f, mu, pop_idx, coef):
     return (G_f - mu_s) * coef[None, None, :]
 
 
+def _int8_weighted_stats(Gm, Gu, spec: WindowKernelSpec):
+    """Exact int8-MXU evaluation of the dominant weighted-covariance term.
+
+    Per population k (static segment bounds), the un-normalized
+    within-pop term of CalWgtCov (src/util.cpp:103-124) is
+
+        d_k = m_k * (G_k G_k^T) - S_k S_k^T        (m^2 * cov)
+
+    Dosages are {0,1,2}, so with m_k <= 2^13 subjects per population
+    every quantity is an integer < 2^31: the int8 MXU Gram matrix,
+    the scalar multiply and the outer-product subtraction are all EXACT
+    in int32.  Only the final weighted f32 accumulation across the <=29
+    populations rounds, giving ~1e-7 correlation-scale error -- both
+    faster (int8 MXU rate) and ~30x more accurate than the centered
+    f32 matmul path, which this replaces on single-device runs.
+    (The sharded path keeps the centered formulation: d_k is not
+    additive across subject shards, psum-able sufficient statistics
+    are.)
+
+    Returns (big_mm [W,M,M] f32, big_um [W,U,M] f32, vu_big [W,U] f32,
+    S_m [W,M,P] f32, S_u [W,U,P] f32) where big_* already carry the
+    w_k * m_k/(m_k-1) weights, matching the centered path's outputs.
+    """
+    bounds = spec.bounds
+    P = len(spec.pop_sizes)
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = (w * m / (m - 1.0)).astype(np.float32)
+    W, Mp, _ = Gm.shape
+    Up = Gu.shape[1]
+    big_mm = jnp.zeros((W, Mp, Mp), jnp.float32)
+    big_um = jnp.zeros((W, Up, Mp), jnp.float32)
+    vu_big = jnp.zeros((W, Up), jnp.float32)
+    Sm_l, Su_l = [], []
+    dn = (((2,), (2,)), ((0,), (0,)))   # contract subjects, batch windows
+    for k in range(P):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        a = Gm[:, :, lo:hi]
+        b = Gu[:, :, lo:hi]
+        mk = int(spec.pop_sizes[k])
+        Cmm = jax.lax.dot_general(a, a, dn, preferred_element_type=jnp.int32)
+        Cum = jax.lax.dot_general(b, a, dn, preferred_element_type=jnp.int32)
+        Sm = jnp.sum(a.astype(jnp.int32), axis=2)          # [W, Mp]
+        Su = jnp.sum(b.astype(jnp.int32), axis=2)
+        Qu = jnp.sum((b * b).astype(jnp.int32), axis=2)
+        d_mm = mk * Cmm - Sm[:, :, None] * Sm[:, None, :]  # exact int32
+        d_um = mk * Cum - Su[:, :, None] * Sm[:, None, :]
+        d_uu = mk * Qu - Su * Su
+        big_mm = big_mm + alpha[k] * d_mm.astype(jnp.float32)
+        big_um = big_um + alpha[k] * d_um.astype(jnp.float32)
+        vu_big = vu_big + alpha[k] * d_uu.astype(jnp.float32)
+        Sm_l.append(Sm)
+        Su_l.append(Su)
+    S_m = jnp.stack(Sm_l, axis=2).astype(jnp.float32)      # [W, Mp, P]
+    S_u = jnp.stack(Su_l, axis=2).astype(jnp.float32)
+    return big_mm, big_um, vu_big, S_m, S_u
+
+
 def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
                   axis_name: Optional[str] = None,
                   subject_valid: Optional[jnp.ndarray] = None):
@@ -174,20 +233,30 @@ def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
     Gm_f = Gm.astype(jnp.float32)
     Gu_f = Gu.astype(jnp.float32)
 
+    # int8 exactness bound: 4*m_k^2 must fit int32 (per-pop Gram d-term)
+    int8_ok = (spec.stats == "int8" and axis_name is None
+               and max(spec.pop_sizes) <= 23000)
+
     if spec.wgts is not None:
         m = np.asarray(spec.pop_sizes, dtype=np.float64)
         w = jnp.asarray(np.asarray(spec.wgts, dtype=np.float64), dtype=dt)
-        S_m = psum(_pop_sums(Gm_f, onehot))          # [W, Mp, P] exact
-        S_u = psum(_pop_sums(Gu_f, onehot))
-        mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
-        mu_u = S_u / jnp.asarray(m, dtype=jnp.float32)
-        Hm = _centered(Gm_f, mu_m, pop_idx, coef)
-        Hu = _centered(Gu_f, mu_u, pop_idx, coef)
-        big_mm = psum(jnp.einsum("wms,wns->wmn", Hm, Hm, precision=_HI,
-                                 preferred_element_type=jnp.float32))
-        big_um = psum(jnp.einsum("wus,wms->wum", Hu, Hm, precision=_HI,
-                                 preferred_element_type=jnp.float32))
-        vu_big = psum(jnp.sum(Hu * Hu, axis=2))
+        if int8_ok:
+            big_mm, big_um, vu_big, S_m, S_u = _int8_weighted_stats(
+                Gm, Gu, spec)
+            mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
+            mu_u = S_u / jnp.asarray(m, dtype=jnp.float32)
+        else:
+            S_m = psum(_pop_sums(Gm_f, onehot))          # [W, Mp, P] exact
+            S_u = psum(_pop_sums(Gu_f, onehot))
+            mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
+            mu_u = S_u / jnp.asarray(m, dtype=jnp.float32)
+            Hm = _centered(Gm_f, mu_m, pop_idx, coef)
+            Hu = _centered(Gu_f, mu_u, pop_idx, coef)
+            big_mm = psum(jnp.einsum("wms,wns->wmn", Hm, Hm, precision=_HI,
+                                     preferred_element_type=jnp.float32))
+            big_um = psum(jnp.einsum("wus,wms->wum", Hu, Hm, precision=_HI,
+                                     preferred_element_type=jnp.float32))
+            vu_big = psum(jnp.sum(Hu * Hu, axis=2))
 
         # tiny mean-product terms, in the reference's formula (f64 opt.)
         mu_m = mu_m.astype(dt)
@@ -258,6 +327,41 @@ def build_window_kernel(spec: WindowKernelSpec, axis_name=None):
     """Return a jitted (Gm, Gu, Z1, m_mask, u_mask) -> (z, info) kernel."""
     fn = partial(window_impute, spec=spec, axis_name=axis_name)
     return jax.jit(fn) if axis_name is None else fn
+
+
+def build_region_kernel(spec: WindowKernelSpec):
+    """Whole-region kernel: ONE dispatch imputes a whole batch of
+    windows by scanning over them on-device, gathering each window's
+    rows from the HBM-resident panel inside the scan body.
+
+    This exists because the per-window dispatch pattern pays the
+    host-link round trip (index upload + z/info fetch + dispatch
+    latency) once per window, which on a tunneled/remote device
+    dominates the ~8ms of per-window compute.  Scanning on-device
+    reduces a region to exactly one upload, one launch and one fetch.
+
+    Returns jitted (G_dev [R, S] int8, m_idx [W, Mp] i32, u_idx [W, Up]
+    i32, Z1 [W, Mp], m_mask [W, Mp], u_mask [W, Up]) -> (z [W, Up],
+    info [W, Up]).  Fully-masked (padding) windows are legal: B11
+    degenerates to (1+lam)*I and the masked outputs are dropped by the
+    caller.
+    """
+    impute = partial(window_impute, spec=spec)
+
+    @jax.jit
+    def fn(G_dev, m_idx, u_idx, Z1, m_mask, u_mask):
+        def body(_, xs):
+            mi, ui, z1, mm, um = xs
+            Gm = jnp.take(G_dev, mi[None], axis=0)
+            Gu = jnp.take(G_dev, ui[None], axis=0)
+            z, info = impute(Gm, Gu, z1[None], mm[None], um[None])
+            return None, (z[0], info[0])
+
+        _, (z, info) = jax.lax.scan(
+            body, None, (m_idx, u_idx, Z1, m_mask, u_mask))
+        return z, info
+
+    return fn
 
 
 def build_gather_window_kernel(spec: WindowKernelSpec):
