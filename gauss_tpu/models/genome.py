@@ -29,7 +29,8 @@ from ..core import linalg, stats, variants
 from ..io import readers
 from ..io.panel import PanelReader, read_panel_index
 from ..ops.window_kernel import (WindowKernelSpec, build_gather_window_kernel,
-                                 build_region_kernel, build_window_kernel)
+                                 build_region_kernel, build_window_kernel,
+                                 pad_pop_segments)
 from ..utils.special import pnorm_two_sided
 
 import jax
@@ -104,12 +105,14 @@ class GenomeEngine:
                  settings: Settings = DEFAULT_SETTINGS,
                  snp_bucket: int = 256,
                  device_linalg: bool = False,
-                 window_bucket: int = 8):
+                 window_bucket: int = 8,
+                 stats: str = "pallas"):
         self.store = store
         self.settings = settings
         self.snp_bucket = snp_bucket
         self.device_linalg = device_linalg
         self.window_bucket = window_bucket
+        self.stats = stats             # "pallas" | "int8" | "centered"
         self._corr_fns: Dict = {}
         self._fused_fns: Dict = {}
 
@@ -179,15 +182,25 @@ class GenomeEngine:
             self._corr_fns[key] = fn
         return fn
 
+    def _padded_sizes(self, sizes) -> Tuple[int, ...]:
+        """Per-pop device-panel segment widths (K_TILE-aligned when the
+        Pallas stats path is on; the zero padding is exact)."""
+        if self.stats == "pallas":
+            from ..ops.pallas_gram import K_TILE
+            return tuple(_round_up(int(s), K_TILE) for s in sizes)
+        return tuple(int(s) for s in sizes)
+
+    def _spec(self, sizes, wgts) -> WindowKernelSpec:
+        return WindowKernelSpec(
+            pop_sizes=sizes, pop_sizes_padded=self._padded_sizes(sizes),
+            wgts=wgts, lam=self.settings.lambda_,
+            min_abs_eig=self.settings.min_abs_eig, stats=self.stats)
+
     def _fused_fn(self, Mp: int, Up: int, sizes, wgts):
         key = (Mp, Up, sizes, wgts)
         fn = self._fused_fns.get(key)
         if fn is None:
-            spec = WindowKernelSpec(
-                pop_sizes=sizes, pop_sizes_padded=sizes, wgts=wgts,
-                lam=self.settings.lambda_,
-                min_abs_eig=self.settings.min_abs_eig)
-            fn = build_gather_window_kernel(spec)
+            fn = build_gather_window_kernel(self._spec(sizes, wgts))
             self._fused_fns[key] = fn
         return fn
 
@@ -195,11 +208,7 @@ class GenomeEngine:
         key = ("region", sizes, wgts)
         fn = self._fused_fns.get(key)
         if fn is None:
-            spec = WindowKernelSpec(
-                pop_sizes=sizes, pop_sizes_padded=sizes, wgts=wgts,
-                lam=self.settings.lambda_,
-                min_abs_eig=self.settings.min_abs_eig)
-            fn = build_region_kernel(spec)
+            fn = build_region_kernel(self._spec(sizes, wgts))
             self._fused_fns[key] = fn
         return fn
 
@@ -216,13 +225,23 @@ class PreparedRun:
 
     def _device_panel(self) -> jnp.ndarray:
         """Selected-population dosage matrix, uploaded to HBM once and
-        reused by every window (the SURVEY section 7 design point)."""
+        reused by every window (the SURVEY section 7 design point).
+        Population segments are zero-padded to the Pallas K-tile when
+        the fused stats kernel is enabled (padding is exact: zero
+        columns contribute 0 to every statistic)."""
         if self._G_dev is None:
             G = self.engine.store.G
             cols = self.subj_cols
             full = len(cols) == G.shape[1] and bool(
                 np.array_equal(cols, np.arange(G.shape[1])))
-            self._G_dev = jnp.asarray(G if full else G[:, cols])
+            Gh = G if full else G[:, cols]
+            padded = self.engine._padded_sizes(self.pop_sizes)
+            if padded != tuple(self.pop_sizes):
+                from ..ops.pallas_gram import K_TILE
+                Gh, got = pad_pop_segments(Gh, self.pop_sizes,
+                                           multiple=K_TILE)
+                assert got == padded
+            self._G_dev = jnp.asarray(Gh)
         return self._G_dev
 
     def _dispatch_device(self, m_rows, u_rows, M, U, Mp, Up, Z1,

@@ -1,0 +1,200 @@
+"""Pallas TPU kernel: fused per-population weighted Gram matrix.
+
+The hot operation of every *mix analysis (distmix/computeLD/qcatmix/
+jepegmix) is the dominant term of the reference's weighted covariance
+(CalWgtCov, reference src/util.cpp:103-124) over a window's dosage rows:
+
+    BIG[i, j] = sum_k alpha_k * (m_k * (X_k Y_k^T)[i,j] - Sx_k[i] Sy_k[j])
+    alpha_k   = w_k * m_k / (m_k - 1)
+
+where X_k/Y_k are the population-k subject columns and Sx/Sy per-pop
+row sums.  This kernel evaluates the heavy first term
+
+    T1[i, j] = sum_k beta_k * (X_k Y_k^T)[i, j],   beta_k = alpha_k m_k
+
+fused over populations:
+
+* the grid walks a caller-chosen list of (row-tile, col-tile) PAIRS --
+  B11 is symmetric, so its upper-triangle tiles are simply absent from
+  the pair list (~25% of the window's flops skipped) and mirrored by
+  the caller;
+* K tiles of ``K_TILE`` subject columns are aligned to population
+  boundaries (panel segments zero-padded -- padded columns contribute
+  exactly 0);
+* per-pop cross products accumulate in an int32 VMEM scratch via the
+  int8 MXU -- EXACT (|dosage - shift| <= 2 and m_k <= 2^13 keep
+  m_k*C < 2^31); at each population's last K tile the int32 block
+  folds into an f32 VMEM accumulator scaled by beta_k;
+* only the final f32 tile is written to HBM: zero int32 HBM traffic.
+
+The rank-P correction sum_k alpha_k Sx_k Sy_k^T is a tiny [N, P] x
+[P, N] f32 matmul the caller evaluates in XLA.  To keep the T1 - T2
+subtraction result-scale (no catastrophic cancellation on
+low-variance SNPs), callers FIRST shift each dosage row by the
+per-(row, population) integer c = round(mean dosage) in {0, 1, 2}:
+covariance is invariant under per-row shifts, the shifted identity
+m*C' - S'S'^T = m*C - SS^T holds exactly in integers, and both T1'
+and T2' shrink to O(result), so f32 rounding stays ~1e-7 of the
+result everywhere (ops/window_kernel._pallas_weighted_stats).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+K_TILE = 512      # subject-axis tile; population segments pad to this
+ROW_TILE = 256    # output row/col tile
+
+
+def _kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
+            x_ref, y_ref, o_ref, cacc, facc):
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        facc[:] = jnp.zeros_like(facc)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        cacc[:] = jnp.zeros_like(cacc)
+
+    cacc[:] += jax.lax.dot_general(
+        x_ref[:], y_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(last_ref[t] == 1)
+    def _():
+        facc[:] += beta_ref[t] * cacc[:].astype(jnp.float32)
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = facc[:]
+
+
+def tile_tables(pop_sizes_padded: Sequence[int], pop_sizes: Sequence[int],
+                wgts: Sequence[float]
+                ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Static per-K-tile lookup tables (first_flag, last_flag, beta)."""
+    firsts, lasts, betas = [], [], []
+    m = np.asarray(pop_sizes, dtype=np.float64)
+    w = np.asarray(wgts, dtype=np.float64)
+    beta = (w * m * m / (m - 1.0)).astype(np.float32)   # alpha_k * m_k
+    for k, sp in enumerate(pop_sizes_padded):
+        if sp % K_TILE:
+            raise ValueError(
+                f"population segment {k} width {sp} not a multiple of "
+                f"{K_TILE}; pad the panel with pad_pop_segments")
+        nt = sp // K_TILE
+        firsts += [1] + [0] * (nt - 1)
+        lasts += [0] * (nt - 1) + [1]
+        betas += [float(beta[k])] * nt
+    return (np.asarray(firsts, np.int32), np.asarray(lasts, np.int32),
+            np.asarray(betas, np.float32))
+
+
+def pair_tables(n_sym: int, n_rows: int, n_cols: int
+                ) -> Tuple[np.ndarray, np.ndarray]:
+    """Row/col tile-pair lists: the first ``n_sym`` row tiles form a
+    symmetric block (keep j <= i only); the remaining row tiles pair
+    with every col tile.  All counts in ROW_TILE units."""
+    pi, pj = [], []
+    for i in range(n_rows):
+        for j in range(n_cols):
+            if i < n_sym and j > i:
+                continue
+            pi.append(i)
+            pj.append(j)
+    return np.asarray(pi, np.int32), np.asarray(pj, np.int32)
+
+
+def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
+                     pop_sizes: Sequence[int],
+                     pop_sizes_padded: Sequence[int],
+                     wgts: Sequence[float],
+                     n_sym: int = 0,
+                     interpret: bool = False) -> jnp.ndarray:
+    """T1[NX, NY] f32 = sum_k (alpha_k m_k) * X_k Y_k^T  (fused Pallas).
+
+    X: [NX, S] int8, Y: [NY, S] int8 with S = sum(pop_sizes_padded),
+    every population segment zero-padded to a K_TILE multiple, NX/NY
+    ROW_TILE multiples.  If ``n_sym`` > 0, the leading n_sym*ROW_TILE
+    rows of X are assumed identical to Y's leading rows and only the
+    lower-triangle tiles of that block are computed (mirror with
+    ``mirror_lower``); the tiles above stay uninitialized.
+    """
+    NX, S = X.shape
+    NY = Y.shape[0]
+    if NX % ROW_TILE or NY % ROW_TILE:
+        raise ValueError(f"row counts ({NX}, {NY}) must be multiples of "
+                         f"{ROW_TILE}")
+    first, last, beta = tile_tables(pop_sizes_padded, pop_sizes, wgts)
+    T = S // K_TILE
+    if len(first) != T:
+        raise ValueError("pop_sizes_padded does not match subject axis")
+    pi, pj = pair_tables(n_sym, NX // ROW_TILE, NY // ROW_TILE)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=5,
+        grid=(len(pi), T),
+        in_specs=[
+            pl.BlockSpec((ROW_TILE, K_TILE),
+                         lambda g, t, f, l, b, pi, pj: (pi[g], t),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_TILE, K_TILE),
+                         lambda g, t, f, l, b, pi, pj: (pj[g], t),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_TILE, ROW_TILE),
+                               lambda g, t, f, l, b, pi, pj: (pi[g], pj[g]),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((ROW_TILE, ROW_TILE), jnp.int32),
+            pltpu.VMEM((ROW_TILE, ROW_TILE), jnp.float32),
+        ],
+    )
+    kwargs = {}
+    try:
+        kwargs["compiler_params"] = pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"))
+    except Exception:  # hint only; param surface varies across versions
+        pass
+    return pl.pallas_call(
+        _kernel,
+        out_shape=jax.ShapeDtypeStruct((NX, NY), jnp.float32),
+        grid_spec=grid_spec,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * len(pi) * ROW_TILE * ROW_TILE * S,
+            bytes_accessed=NX * S + NY * S + 4 * NX * NY,
+            transcendentals=0),
+        interpret=interpret,
+        **kwargs,
+    )(first, last, beta, pi, pj, X, Y)
+
+
+def mirror_lower(A: jnp.ndarray) -> jnp.ndarray:
+    """Symmetrize a matrix whose strict upper triangle is garbage."""
+    lo = jnp.tril(A)
+    return lo + jnp.tril(A, -1).T
+
+
+def weighted_gram_reference(X, Y, pop_sizes, pop_sizes_padded, wgts):
+    """Numpy float64 oracle of the full BIG term (tests)."""
+    X = np.asarray(X, dtype=np.float64)
+    Y = np.asarray(Y, dtype=np.float64)
+    m = np.asarray(pop_sizes, dtype=np.float64)
+    w = np.asarray(wgts, dtype=np.float64)
+    bounds = np.concatenate([[0], np.cumsum(pop_sizes_padded)])
+    out = np.zeros((X.shape[0], Y.shape[0]))
+    for k in range(len(pop_sizes)):
+        a = X[:, int(bounds[k]):int(bounds[k + 1])]
+        b = Y[:, int(bounds[k]):int(bounds[k + 1])]
+        d = m[k] * (a @ b.T) - np.outer(a.sum(1), b.sum(1))
+        out += (w[k] * m[k] / (m[k] - 1.0)) * d
+    return out

@@ -203,6 +203,105 @@ def _int8_weighted_stats(Gm, Gu, spec: WindowKernelSpec):
     return big_mm, big_um, vu_big, S_m, S_u
 
 
+def _pallas_weighted_stats(Gm, Gu, spec: WindowKernelSpec):
+    """Fused-Pallas evaluation of the weighted big term (see
+    ops/pallas_gram.py).  Same contract as _int8_weighted_stats.
+
+    Exactness scheme: per-(SNP, population) integer shifts
+    c = round(mean dosage) are subtracted from the dosages first
+    (covariance is shift-invariant, the int identity
+    m*C' - S'S'^T = m*C - SS^T is exact), which keeps both the fused
+    T1' = sum beta_k C'_k and the rank-P correction T2' at the scale of
+    the RESULT, so the f32 subtraction loses nothing to cancellation
+    even for low-variance SNPs.
+    """
+    from . import pallas_gram as pg
+
+    bounds = spec.bounds
+    P = len(spec.pop_sizes)
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = jnp.asarray((w * m / (m - 1.0)).astype(np.float32))
+    m_i32 = jnp.asarray(np.asarray(spec.pop_sizes, dtype=np.int32))
+    W, Mp, S = Gm.shape
+    Up = Gu.shape[1]
+
+    # static per-column arrays over the padded subject layout
+    pop_idx = np.zeros(S, dtype=np.int32)
+    valid = np.zeros(S, dtype=np.int8)
+    onehot = np.zeros((S, P), dtype=np.int8)
+    for k in range(P):
+        lo = int(bounds[k])
+        mk = int(spec.pop_sizes[k])
+        pop_idx[lo:lo + int(spec.pop_sizes_padded[k])] = k
+        valid[lo:lo + mk] = 1
+        onehot[lo:lo + mk, k] = 1
+    onehot_d = jnp.asarray(onehot)
+    valid_d = jnp.asarray(valid)
+    pop_idx_d = jnp.asarray(pop_idx)
+
+    dn = (((2,), (1,)), ((0,), (0,)))    # contract subjects, batch windows
+    oh = jnp.broadcast_to(onehot_d, (W, S, P))
+    S_m = jax.lax.dot_general(Gm, oh, dn, preferred_element_type=jnp.int32)
+    S_u = jax.lax.dot_general(Gu, oh, dn, preferred_element_type=jnp.int32)
+    Q_u = jax.lax.dot_general(Gu * Gu, oh, dn,
+                              preferred_element_type=jnp.int32)
+
+    # integer shifts c in {0,1,2}; exact int32 arithmetic throughout
+    mf = jnp.asarray(m.astype(np.float32))
+    c_m = jnp.clip(jnp.round(S_m.astype(jnp.float32) / mf), 0, 2
+                   ).astype(jnp.int32)                       # [W, Mp, P]
+    c_u = jnp.clip(jnp.round(S_u.astype(jnp.float32) / mf), 0, 2
+                   ).astype(jnp.int32)
+    Sp_m = S_m - m_i32 * c_m                                 # shifted sums
+    Sp_u = S_u - m_i32 * c_u
+
+    def shift(G, c):
+        cs = jnp.take(c.astype(jnp.int8), pop_idx_d, axis=2)  # [W, N, S]
+        return (G - cs) * valid_d[None, None, :]
+
+    Gm_c = shift(Gm, c_m)
+    Gu_c = shift(Gu, c_u)
+
+    interpret = jax.default_backend() == "cpu"
+    n_sym = Mp // pg.ROW_TILE
+    big_mm_l, big_um_l = [], []
+    for wi in range(W):
+        X = jnp.concatenate([Gm_c[wi], Gu_c[wi]], axis=0)    # [Mp+Up, S]
+        t1 = pg.weighted_gram_t1(X, Gm_c[wi], spec.pop_sizes,
+                                 spec.pop_sizes_padded, spec.wgts,
+                                 n_sym=n_sym, interpret=interpret)
+        # shifted sums |S'| <= m/2, so these f32 products are exact for
+        # m <= 8192 and ~6e-8 relative above; HIGHEST keeps the MXU from
+        # dropping to bf16 passes on this small rank-P correction.
+        sx = Sp_m[wi].astype(jnp.float32)                     # [Mp, P]
+        su = Sp_u[wi].astype(jnp.float32)
+        t2_mm = jnp.dot(sx * alpha[None, :], sx.T, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        t2_um = jnp.dot(su * alpha[None, :], sx.T, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        big_mm_l.append(pg.mirror_lower(t1[:Mp]) - t2_mm)
+        big_um_l.append(t1[Mp:] - t2_um)
+    big_mm = jnp.stack(big_mm_l)
+    big_um = jnp.stack(big_um_l)
+
+    d_uu = m_i32 * Q_u - S_u * S_u                           # exact int32
+    vu_big = d_uu.astype(jnp.float32) @ alpha
+    return big_mm, big_um, vu_big, S_m.astype(jnp.float32), \
+        S_u.astype(jnp.float32)
+
+
+def _pallas_ok(spec: WindowKernelSpec, Mp: int, Up: int) -> bool:
+    from . import pallas_gram as pg
+    # on CPU the Pallas kernel only runs interpreted (numpy-speed);
+    # the XLA int8 path is the right fallback there
+    return (spec.wgts is not None
+            and jax.default_backend() != "cpu"
+            and max(spec.pop_sizes) <= 23000
+            and Mp % pg.ROW_TILE == 0 and Up % pg.ROW_TILE == 0
+            and all(sp % pg.K_TILE == 0 for sp in spec.pop_sizes_padded))
+
+
 def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
                   axis_name: Optional[str] = None,
                   subject_valid: Optional[jnp.ndarray] = None):
@@ -237,10 +336,19 @@ def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
     int8_ok = (spec.stats == "int8" and axis_name is None
                and max(spec.pop_sizes) <= 23000)
 
+    pallas_ok = (spec.stats == "pallas" and axis_name is None
+                 and _pallas_ok(spec, Gm.shape[1], Gu.shape[1]))
+
     if spec.wgts is not None:
         m = np.asarray(spec.pop_sizes, dtype=np.float64)
         w = jnp.asarray(np.asarray(spec.wgts, dtype=np.float64), dtype=dt)
-        if int8_ok:
+        if pallas_ok:
+            big_mm, big_um, vu_big, S_m, S_u = _pallas_weighted_stats(
+                Gm, Gu, spec)
+            mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
+            mu_u = S_u / jnp.asarray(m, dtype=jnp.float32)
+        elif int8_ok or (spec.stats == "pallas" and axis_name is None
+                         and max(spec.pop_sizes) <= 23000):
             big_mm, big_um, vu_big, S_m, S_u = _int8_weighted_stats(
                 Gm, Gu, spec)
             mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
