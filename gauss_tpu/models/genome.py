@@ -404,12 +404,33 @@ class PreparedRun:
                         break
                 z = np.asarray(z)
                 info = np.asarray(info)
+                # vectorized assembly: prediction windows are disjoint,
+                # so scatter all imputed z/info once and emit one frame
+                # covering every successful window's span
+                out_z = t["z"].to_numpy().copy()
+                out_info = t["info"].to_numpy().copy()
+                bp = t["bp"].to_numpy()
+                emit = np.zeros(len(t), dtype=bool)
                 for i, (lo, hi, plan) in enumerate(plans):
                     m_rows, u_rows, M, U, *_ = plan
-                    zf = z[i, :U].astype(np.float64)
-                    inf = info[i, :U].astype(np.float64)
-                    frames.append(self._assemble(lo, hi, u_rows, zf, inf,
-                                                 M, U).table)
+                    out_z[u_rows] = z[i, :U].astype(np.float64)
+                    out_info[u_rows] = info[i, :U].astype(np.float64)
+                    emit |= (bp >= lo) & (bp <= hi)
+                tt = t[emit]
+                sel = np.flatnonzero(emit)
+                af_col = "af1mix" if self.wgts is not None else "af1ref"
+                frames.append(pd.DataFrame({
+                    "rsid": tt["rsid"].to_numpy(),
+                    "chr": tt["chr"].to_numpy(),
+                    "bp": tt["bp"].to_numpy(),
+                    "a1": tt["a1"].to_numpy(),
+                    "a2": tt["a2"].to_numpy(),
+                    af_col: tt[af_col].to_numpy(),
+                    "z": out_z[sel],
+                    "pval": pnorm_two_sided(out_z[sel]),
+                    "info": out_info[sel],
+                    "type": tt["type"].to_numpy(),
+                }))
         else:
             for lo, hi in spans:
                 r = self.impute_window(lo, hi, wing_size)
