@@ -135,6 +135,27 @@ def main(argv=None):
                    help="use a decoded panel cache dir instead of bgzf")
     p.add_argument("--device-linalg", action="store_true")
 
+    p = sub.add_parser("impute-genome",
+                       help="checkpointed chunked distmix over a whole "
+                            "chromosome/region; resumable (--run-dir)")
+    _ref_args(p, window=True, pop="wgt")
+    p.add_argument("--window-bp", type=int, default=1_000_000)
+    p.add_argument("--wing-size", type=int, default=500_000)
+    p.add_argument("--chunk-bp", type=int, default=16_000_000)
+    p.add_argument("--af1-cutoff", type=float, default=0.01)
+    p.add_argument("--panel-cache", default=None)
+    p.add_argument("--run-dir", required=True,
+                   help="checkpoint directory (manifest + result shards)")
+    p.add_argument("--restart", action="store_true",
+                   help="ignore completed chunks and recompute everything")
+    p.add_argument("--host-linalg", action="store_true",
+                   help="float64 host solves instead of the fused device "
+                        "kernel")
+    p.add_argument("--trace-log", default=None,
+                   help="append phase timings to this JSONL file")
+    p.add_argument("--status", action="store_true",
+                   help="print the run's chunk ledger and exit")
+
     args = ap.parse_args(argv)
 
     import gauss_tpu
@@ -232,6 +253,44 @@ def main(argv=None):
                                window_bp=args.window_bp,
                                wing_size=args.wing_size)
         _emit(df, args.output)
+    elif args.cmd == "impute-genome":
+        from gauss_tpu.config import PanelFiles
+        from gauss_tpu.io import readers
+        from gauss_tpu.models.genome import GenomeEngine, PanelStore
+        from gauss_tpu.models.runner import GenomeRunner
+        from gauss_tpu.utils.timing import Tracer
+        if args.panel_cache:
+            store = PanelStore.load(args.panel_cache)
+        else:
+            store = PanelStore.from_bgzf(
+                PanelFiles(args.reference_index_file,
+                           args.reference_data_file,
+                           args.reference_pop_desc_file), chrom=args.chr)
+        inp = readers.read_input_z(args.input_file, chrom=args.chr,
+                                   start_bp=args.start_bp,
+                                   end_bp=args.end_bp,
+                                   wing_size=args.wing_size)
+        eng = GenomeEngine(store, device_linalg=not args.host_linalg)
+        runner = GenomeRunner(
+            args.run_dir, eng, inp,
+            readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),
+            af1_cutoff=args.af1_cutoff, window_bp=args.window_bp,
+            wing_size=args.wing_size, chunk_bp=args.chunk_bp,
+            tracer=Tracer(verbose=True, log_file=args.trace_log))
+        runner.plan(args.chr, args.start_bp, args.end_bp)
+        if args.status:
+            print(json.dumps(runner.status()))
+            for cs in runner.chunks.values():
+                line = f"{cs.key}\t{cs.status}\t{cs.n_rows} rows"
+                if cs.error:
+                    line += "\t" + cs.error.splitlines()[0]
+                print(line, file=sys.stderr)
+            return
+        stats = runner.run(resume=not args.restart)
+        print(f"[gauss_tpu] chunks done={stats['done']} "
+              f"failed={stats['failed']} skipped={stats['skipped']}",
+              file=sys.stderr)
+        _emit(runner.collect(), args.output)
 
 
 if __name__ == "__main__":

@@ -1,0 +1,215 @@
+"""Genome-scale run orchestration: chunking, checkpoint/resume, failure
+tolerance, tracing.
+
+The reference has NO in-process checkpointing (SURVEY.md section 5): a
+genome-wide analysis is the user's shell loop over windows, a crashed
+window is re-run by hand, and the only "resume" primitive is the bgzf
+virtual-offset index.  This module is the green-field TPU-native
+replacement:
+
+* a run is a directory: ``manifest.json`` (chunk ledger, atomic
+  rewrites) + one parquet result shard per completed chunk + a JSONL
+  trace of phase timings;
+* chunks are contiguous bp ranges, each imputed windowed via
+  GenomeEngine.impute_region -- big enough to amortize the one-dispatch
+  region kernel, small enough that a crash loses at most one chunk;
+* failures are caught per chunk, recorded in the manifest with the
+  error, and do NOT kill the run (the reference's fail-fast Rcpp::stop
+  semantics stay available per-window via the plain APIs);
+* ``resume=True`` skips completed chunks and retries failed ones, so a
+  preempted TPU job continues where it stopped.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import tempfile
+import time
+import traceback
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+
+from ..utils.timing import Tracer, NULL_TRACER
+from .genome import GenomeEngine, PanelStore
+
+MANIFEST = "manifest.json"
+
+
+def _atomic_write_json(path: str, obj) -> None:
+    d = os.path.dirname(path)
+    fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as fh:
+            json.dump(obj, fh, indent=1)
+        os.replace(tmp, path)
+    except BaseException:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+        raise
+
+
+@dataclasses.dataclass
+class ChunkState:
+    chrom: int
+    start_bp: int
+    end_bp: int
+    status: str = "pending"        # pending | done | failed
+    n_rows: int = 0
+    n_imputed: int = 0
+    elapsed: float = 0.0
+    error: Optional[str] = None
+
+    @property
+    def key(self) -> str:
+        return f"{self.chrom}_{self.start_bp}_{self.end_bp}"
+
+
+class GenomeRunner:
+    """Checkpointed windowed imputation over a whole region/chromosome.
+
+    >>> runner = GenomeRunner(run_dir, engine, input_df, pop_wgt)
+    >>> runner.plan(chrom=22, start_bp=..., end_bp=...)
+    >>> runner.run(resume=True)
+    >>> df = runner.collect()
+    """
+
+    def __init__(self, run_dir: str, engine: GenomeEngine,
+                 input_df: pd.DataFrame, pop_wgt: Dict[str, float],
+                 af1_cutoff: float = 0.01,
+                 window_bp: int = 1_000_000,
+                 wing_size: int = 500_000,
+                 chunk_bp: int = 16_000_000,
+                 tracer: Tracer = NULL_TRACER):
+        self.run_dir = run_dir
+        self.engine = engine
+        self.input_df = input_df
+        self.pop_wgt = pop_wgt
+        self.af1_cutoff = af1_cutoff
+        self.window_bp = window_bp
+        self.wing_size = wing_size
+        self.chunk_bp = chunk_bp
+        self.tracer = tracer
+        self.chunks: Dict[str, ChunkState] = {}
+        self._run = None
+        os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
+        self._load_manifest()
+
+    # -- manifest ---------------------------------------------------------
+    def _manifest_path(self) -> str:
+        return os.path.join(self.run_dir, MANIFEST)
+
+    def _load_manifest(self) -> None:
+        path = self._manifest_path()
+        if os.path.exists(path):
+            with open(path) as fh:
+                data = json.load(fh)
+            for c in data.get("chunks", []):
+                cs = ChunkState(**c)
+                self.chunks[cs.key] = cs
+
+    def _save_manifest(self) -> None:
+        _atomic_write_json(self._manifest_path(), {
+            "window_bp": self.window_bp,
+            "wing_size": self.wing_size,
+            "chunk_bp": self.chunk_bp,
+            "af1_cutoff": self.af1_cutoff,
+            "updated": time.time(),
+            "chunks": [dataclasses.asdict(c) for c in self.chunks.values()],
+        })
+
+    # -- planning ---------------------------------------------------------
+    def plan(self, chrom: int, start_bp: Optional[int] = None,
+             end_bp: Optional[int] = None) -> None:
+        """Lay out chunk boundaries; no-op for chunks already planned
+        (so a resumed run keeps its ledger)."""
+        idx = self.engine.store.index
+        if start_bp is None:
+            start_bp = int(idx["bp"].min())
+        if end_bp is None:
+            end_bp = int(idx["bp"].max())
+        lo = start_bp
+        while lo <= end_bp:
+            hi = min(lo + self.chunk_bp - 1, end_bp)
+            cs = ChunkState(chrom=chrom, start_bp=lo, end_bp=hi)
+            if cs.key not in self.chunks:
+                self.chunks[cs.key] = cs
+            lo = hi + 1
+        self._save_manifest()
+
+    # -- execution --------------------------------------------------------
+    def _prepared(self):
+        if self._run is None:
+            with self.tracer.phase("prepare", snps=len(self.input_df)):
+                self._run = self.engine.prepare_mix(
+                    self.input_df, self.pop_wgt,
+                    af1_cutoff=self.af1_cutoff)
+        return self._run
+
+    def _result_path(self, cs: ChunkState) -> str:
+        return os.path.join(self.run_dir, "results", f"{cs.key}.parquet")
+
+    def run(self, resume: bool = True,
+            max_failures: Optional[int] = None) -> Dict[str, int]:
+        """Execute pending (and, when resuming, previously failed)
+        chunks.  Returns {'done': n, 'failed': n, 'skipped': n}."""
+        stats = {"done": 0, "failed": 0, "skipped": 0}
+        for cs in list(self.chunks.values()):
+            if cs.status == "done" and resume:
+                stats["skipped"] += 1
+                continue
+            if cs.status == "failed" and not resume:
+                stats["skipped"] += 1
+                continue
+            t0 = time.time()
+            try:
+                with self.tracer.phase("chunk", key=cs.key):
+                    run = self._prepared()
+                    df = run.impute_region(cs.start_bp, cs.end_bp,
+                                           window_bp=self.window_bp,
+                                           wing_size=self.wing_size)
+                df.to_parquet(self._result_path(cs))
+                cs.status = "done"
+                cs.error = None
+                cs.n_rows = int(len(df))
+                cs.n_imputed = (int((df["type"] == 0).sum())
+                                if len(df) else 0)
+                stats["done"] += 1
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:  # failure tolerance: record + continue
+                cs.status = "failed"
+                cs.error = f"{type(e).__name__}: {e}\n" + traceback.format_exc(
+                    limit=5)
+                stats["failed"] += 1
+                if (max_failures is not None
+                        and stats["failed"] >= max_failures):
+                    cs.elapsed = time.time() - t0
+                    self._save_manifest()
+                    raise
+            cs.elapsed = time.time() - t0
+            self._save_manifest()
+        return stats
+
+    # -- results ----------------------------------------------------------
+    def collect(self) -> pd.DataFrame:
+        """Concatenate all completed chunk shards in genomic order."""
+        frames = []
+        for cs in sorted(self.chunks.values(),
+                         key=lambda c: (c.chrom, c.start_bp)):
+            if cs.status == "done":
+                path = self._result_path(cs)
+                if os.path.exists(path):
+                    frames.append(pd.read_parquet(path))
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    def status(self) -> Dict[str, int]:
+        out = {"pending": 0, "done": 0, "failed": 0}
+        for cs in self.chunks.values():
+            out[cs.status] = out.get(cs.status, 0) + 1
+        return out

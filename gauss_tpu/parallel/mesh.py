@@ -66,6 +66,64 @@ def subject_valid_layout(pop_sizes: Sequence[int],
     return v[0]
 
 
+def sharded_region_impute(
+    mesh: Mesh,
+    G_layout: np.ndarray,      # [R, S_layout] int8 panel (subject-shard layout)
+    m_idx: np.ndarray,         # [W, Mp] int32 panel-row indices
+    u_idx: np.ndarray,         # [W, Up]
+    Z1: np.ndarray,            # [W, Mp]
+    m_mask: np.ndarray,
+    u_mask: np.ndarray,
+    true_pop_sizes: Sequence[int],
+    local_pop_sizes: Sequence[int],
+    wgts: Optional[Sequence[float]],
+    lam: float = 0.1,
+    min_abs_eig: float = 1e-5,
+):
+    """Whole-region imputation over a (window x subject) device mesh.
+
+    Windows are data-parallel over the ``window`` axis (each device
+    scans its W/n_win windows on-device, one dispatch total); the panel
+    shards by subject over the ``subject`` axis with partial sufficient
+    statistics psum'd over ICI.  W must divide by the window-axis size
+    and G_layout's subject axis must be in subject_shard_layout order.
+    """
+    spec = WindowKernelSpec(
+        pop_sizes=tuple(int(x) for x in true_pop_sizes),
+        pop_sizes_padded=tuple(int(x) for x in local_pop_sizes),
+        wgts=tuple(float(x) for x in wgts) if wgts is not None else None,
+        lam=lam, min_abs_eig=min_abs_eig,
+    )
+    n_sub = mesh.shape["subject"]
+    valid = subject_valid_layout(true_pop_sizes, n_sub)
+
+    def fn(G, mi, ui, z1, mm, um, sv):
+        def body(_, xs):
+            mi1, ui1, z11, mm1, um1 = xs
+            Gm = jnp.take(G, mi1[None], axis=0)
+            Gu = jnp.take(G, ui1[None], axis=0)
+            z, info = window_impute(Gm, Gu, z11[None], mm1[None], um1[None],
+                                    spec=spec, axis_name="subject",
+                                    subject_valid=sv)
+            return None, (z[0], info[0])
+
+        _, (z, info) = jax.lax.scan(body, None, (mi, ui, z1, mm, um))
+        return z, info
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "subject"),
+                  P("window", None), P("window", None), P("window", None),
+                  P("window", None), P("window", None), P("subject")),
+        out_specs=(P("window", None), P("window", None)),
+    )
+    jfn = jax.jit(sharded)
+    return jfn(jnp.asarray(G_layout), jnp.asarray(m_idx),
+               jnp.asarray(u_idx), jnp.asarray(Z1), jnp.asarray(m_mask),
+               jnp.asarray(u_mask), jnp.asarray(valid))
+
+
 def sharded_window_impute(
     mesh: Mesh,
     Gm: np.ndarray,            # [W, Mp, S_layout] int8 (subject-shard layout)

@@ -116,3 +116,41 @@ def test_graft_entry_dryrun():
     z, info = fn(*args)
     assert np.isfinite(np.asarray(z)[:, :-2]).all()
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_region_matches_single_device():
+    """Whole-region scan over a (window x subject) mesh == 1-device scan."""
+    from gauss_tpu.ops.window_kernel import build_region_kernel
+    from gauss_tpu.parallel.mesh import sharded_region_impute
+
+    n_win, n_sub = 2, 4
+    mesh = make_mesh(n_win, n_sub)
+    rng = np.random.default_rng(21)
+    R, Mp, Up, W = 300, 24, 16, 4
+    S = sum(POP_SIZES)
+    G = rng.integers(0, 3, size=(R, S), dtype=np.int8)
+    m_idx = rng.integers(0, R, size=(W, Mp)).astype(np.int32)
+    u_idx = rng.integers(0, R, size=(W, Up)).astype(np.int32)
+    Z1 = rng.standard_normal((W, Mp))
+    m_mask = np.ones((W, Mp), np.float32)
+    u_mask = np.ones((W, Up), np.float32)
+    m_mask[:, -3:] = 0
+    u_mask[:, -2:] = 0
+    Z1[:, -3:] = 0
+
+    G_l, padded, locs = subject_shard_layout(G, POP_SIZES, n_sub)
+    z, info = sharded_region_impute(
+        mesh, G_l, m_idx, u_idx, Z1, m_mask, u_mask,
+        true_pop_sizes=POP_SIZES, local_pop_sizes=locs, wgts=WGTS)
+
+    spec = WindowKernelSpec(pop_sizes=POP_SIZES, pop_sizes_padded=POP_SIZES,
+                            wgts=WGTS)
+    z1, info1 = build_region_kernel(spec)(G, m_idx, u_idx, Z1,
+                                          m_mask, u_mask)
+    real = u_mask > 0
+    np.testing.assert_allclose(np.asarray(z)[real], np.asarray(z1)[real],
+                               rtol=5e-4, atol=5e-5)
+    np.testing.assert_allclose(np.asarray(info)[real],
+                               np.asarray(info1)[real],
+                               rtol=5e-4, atol=5e-5)

@@ -1,0 +1,103 @@
+"""Checkpoint/resume + failure tolerance of the genome runner."""
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from gauss_tpu.config import PanelFiles
+from gauss_tpu.io import readers
+from gauss_tpu.models.genome import GenomeEngine, PanelStore
+from gauss_tpu.models.runner import GenomeRunner
+from gauss_tpu.utils.testing import make_gwas_input, make_synthetic_panel
+
+
+@pytest.fixture(scope="module")
+def setup(tmp_path_factory):
+    d = tmp_path_factory.mktemp("runner_panel")
+    p = make_synthetic_panel(str(d), n_snps=900, bp_start=1_000_000,
+                             bp_step=2_000, seed=11)
+    zin = str(d / "zin.txt")
+    make_gwas_input(p, zin, measured_frac=0.5, seed=12)
+    store = PanelStore.from_bgzf(p.files, chrom=22)
+    inp = readers.read_input_z(zin, chrom=22, start_bp=1_000_000,
+                               end_bp=2_800_000, wing_size=200_000)
+    pop_wgt = {pop: 1.0 / len(p.desc.pops) for pop in p.desc.pops}
+    return store, inp, pop_wgt
+
+
+def _runner(tmp_path, setup, **kw):
+    store, inp, pop_wgt = setup
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    return GenomeRunner(str(tmp_path), eng, inp, pop_wgt,
+                        window_bp=600_000, wing_size=200_000,
+                        chunk_bp=600_000, **kw)
+
+
+def test_run_and_collect(tmp_path, setup):
+    r = _runner(tmp_path / "run1", setup)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r.run()
+    assert stats["failed"] == 0 and stats["done"] >= 2
+    df = r.collect()
+    assert len(df) > 0
+    assert (df["type"] == 0).any()
+    # manifest persisted
+    man = json.load(open(os.path.join(str(tmp_path / "run1"),
+                                      "manifest.json")))
+    assert all(c["status"] == "done" for c in man["chunks"])
+
+
+def test_resume_skips_done(tmp_path, setup):
+    d = tmp_path / "run2"
+    r = _runner(d, setup)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    r.run()
+    # a fresh runner over the same dir resumes: everything skipped
+    r2 = _runner(d, setup)
+    stats = r2.run(resume=True)
+    assert stats["done"] == 0 and stats["skipped"] >= 2
+    assert len(r2.collect()) == len(r.collect())
+
+
+def test_failure_recorded_then_resumed(tmp_path, setup, monkeypatch):
+    d = tmp_path / "run3"
+    r = _runner(d, setup)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+
+    # inject a one-shot failure into the second chunk
+    real = GenomeRunner._prepared
+    calls = {"n": 0}
+
+    class Boom(RuntimeError):
+        pass
+
+    def flaky(self):
+        run = real(self)
+        orig = run.impute_region
+
+        def wrapped(start_bp, end_bp, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2 and not calls.get("healed"):
+                calls["healed"] = True
+                raise Boom("injected chunk failure")
+            return orig(start_bp, end_bp, **kw)
+
+        run.impute_region = wrapped
+        return run
+
+    monkeypatch.setattr(GenomeRunner, "_prepared", flaky)
+    stats = r.run()
+    assert stats["failed"] == 1
+    st = r.status()
+    assert st["failed"] == 1
+    failed = [c for c in r.chunks.values() if c.status == "failed"]
+    assert "injected chunk failure" in failed[0].error
+
+    # resume: failed chunk retried and completes
+    monkeypatch.setattr(GenomeRunner, "_prepared", real)
+    stats2 = r.run(resume=True)
+    assert stats2["failed"] == 0 and stats2["done"] == 1
+    assert r.status()["failed"] == 0
