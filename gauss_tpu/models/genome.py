@@ -105,7 +105,7 @@ class GenomeEngine:
                  settings: Settings = DEFAULT_SETTINGS,
                  snp_bucket: int = 256,
                  device_linalg: bool = False,
-                 window_bucket: int = 8,
+                 window_bucket: int = 4,
                  stats: str = "pallas"):
         self.store = store
         self.settings = settings
