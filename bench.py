@@ -78,13 +78,19 @@ def main():
     n_imputed = int((res["type"] == 0).sum())
     log(f"[bench] pass 1 (incl. bucket compiles): {n_imputed} SNPs in "
         f"{time.time()-t:.2f}s")
-    t = time.time()
-    res = run.impute_region(lo, hi, window_bp=WINDOW_BP, wing_size=WING_BP)
-    elapsed = time.time() - t
+    # median of 3 timed passes: the tunneled device shows +-15%
+    # run-to-run variance under shared load
+    times = []
+    for _ in range(3):
+        t = time.time()
+        res = run.impute_region(lo, hi, window_bp=WINDOW_BP,
+                                wing_size=WING_BP)
+        times.append(time.time() - t)
+    elapsed = sorted(times)[1]
     n_imputed = int((res["type"] == 0).sum())
     rate = n_imputed / elapsed
-    log(f"[bench] imputed {n_imputed} SNPs in {elapsed:.2f}s "
-        f"-> {rate:.1f} SNPs/s/chip")
+    log(f"[bench] imputed {n_imputed} SNPs in {elapsed:.2f}s (median of "
+        f"{[f'{x:.2f}' for x in times]}) -> {rate:.1f} SNPs/s/chip")
 
     # accuracy cross-check: fused device-linalg path vs host f64 path
     eng_h = GenomeEngine(store, snp_bucket=256, device_linalg=False)
