@@ -92,6 +92,17 @@ def main():
     log(f"[bench] imputed {n_imputed} SNPs in {elapsed:.2f}s (median of "
         f"{[f'{x:.2f}' for x in times]}) -> {rate:.1f} SNPs/s/chip")
 
+    # secondary: ancestry-weighted LD throughput (computeLD windows)
+    t = time.time()
+    lds = run.ld_region(lo, hi, window_bp=WINDOW_BP)
+    log(f"[bench] LD warmup: {len(lds)} windows "
+        f"({time.time()-t:.1f}s incl. compile)")
+    t = time.time()
+    lds = run.ld_region(lo, hi, window_bp=WINDOW_BP)
+    ld_elapsed = time.time() - t
+    log(f"[bench] computeLD: {len(lds)} windows in {ld_elapsed:.2f}s "
+        f"-> {len(lds)/ld_elapsed:.1f} LD windows/s")
+
     # accuracy cross-check: fused device-linalg path vs host f64 path
     eng_h = GenomeEngine(store, snp_bucket=256, device_linalg=False)
     run_h = eng_h.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)

@@ -28,7 +28,8 @@ from ..config import PanelFiles, Settings, DEFAULT_SETTINGS
 from ..core import linalg, stats, variants
 from ..io import readers
 from ..io.panel import PanelReader, read_panel_index
-from ..ops.window_kernel import (WindowKernelSpec, build_gather_window_kernel,
+from ..ops.window_kernel import (WindowKernelSpec, build_gather_ld_kernel,
+                                 build_gather_window_kernel,
                                  build_region_kernel, build_window_kernel,
                                  pad_pop_segments)
 from ..utils.special import pnorm_two_sided
@@ -212,6 +213,14 @@ class GenomeEngine:
             self._fused_fns[key] = fn
         return fn
 
+    def _ld_fn(self, Mp: int, sizes, wgts):
+        key = ("ld", Mp, sizes, wgts)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            fn = build_gather_ld_kernel(self._spec(sizes, wgts))
+            self._fused_fns[key] = fn
+        return fn
+
 
 @dataclasses.dataclass
 class PreparedRun:
@@ -343,6 +352,88 @@ class PreparedRun:
             "type": tt["type"].to_numpy(),
         })
         return WindowResult(table=res, n_measured=M, n_unmeasured=U)
+
+    def ld_window(self, start_bp: int, end_bp: int) -> Optional[Dict]:
+        """Ancestry-weighted LD matrix of the window's MEASURED SNPs
+        over the resident panel (computeLD semantics: wing = 0, diag
+        1.0, no ridge; src/computeLD.cpp:26-166).  Returns
+        {'snplist': DataFrame, 'cormat': float64 [n, n]} or None when
+        the window has no measured SNPs."""
+        if self.wgts is None:
+            raise ValueError("ld_window requires population weights "
+                             "(prepare_mix)")
+        t = self.table
+        bp = t["bp"].to_numpy()
+        typ = t["type"].to_numpy()
+        m_rows = np.flatnonzero((typ == 1) & (bp >= start_bp)
+                                & (bp <= end_bp))
+        M = len(m_rows)
+        if M == 0:
+            return None
+        Mp = _round_up(M, self.engine.snp_bucket)
+        m_idx = np.zeros((1, Mp), dtype=np.int32)
+        m_idx[0, :M] = self.g_row[m_rows]
+        m_mask = np.zeros((1, Mp), dtype=np.float32)
+        m_mask[0, :M] = 1.0
+        fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts)
+        corr = np.asarray(fn(self._device_panel(), m_idx, m_mask))
+        tt = t.iloc[m_rows]
+        snplist = pd.DataFrame({
+            "rsid": tt["rsid"].to_numpy(), "chr": tt["chr"].to_numpy(),
+            "bp": tt["bp"].to_numpy(), "a1": tt["a1"].to_numpy(),
+            "a2": tt["a2"].to_numpy(),
+            "af1mix": tt["af1mix"].to_numpy(),
+            "z": tt["z"].to_numpy(),
+        })
+        return {"snplist": snplist,
+                "cormat": corr[0, :M, :M].astype(np.float64)}
+
+    def ld_region(self, start_bp: int, end_bp: int,
+                  window_bp: int = 1_000_000) -> List[Dict]:
+        """ld_window over consecutive windows, every window dispatched
+        before any correlation matrix is fetched (the dense [M, M]
+        outputs dominate the host link here, so overlapping fetches
+        with dispatches beats the single-scan formulation that works
+        best for impute_region's tiny outputs)."""
+        t = self.table
+        bp = t["bp"].to_numpy()
+        typ = t["type"].to_numpy()
+        pending = []
+        pos = start_bp
+        while pos <= end_bp:
+            hi = min(pos + window_bp - 1, end_bp)
+            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
+            M = len(m_rows)
+            if M:
+                Mp = _round_up(M, self.engine.snp_bucket)
+                m_idx = np.zeros((1, Mp), dtype=np.int32)
+                m_idx[0, :M] = self.g_row[m_rows]
+                m_mask = np.zeros((1, Mp), dtype=np.float32)
+                m_mask[0, :M] = 1.0
+                fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts)
+                corr = fn(self._device_panel(), m_idx, m_mask)
+                pending.append((m_rows, M, corr))
+            pos = hi + 1
+        for _, _, corr in pending:
+            try:
+                corr.copy_to_host_async()
+            except AttributeError:
+                break
+        out = []
+        for m_rows, M, corr in pending:
+            tt = t.iloc[m_rows]
+            out.append({
+                "snplist": pd.DataFrame({
+                    "rsid": tt["rsid"].to_numpy(),
+                    "chr": tt["chr"].to_numpy(),
+                    "bp": tt["bp"].to_numpy(),
+                    "a1": tt["a1"].to_numpy(),
+                    "a2": tt["a2"].to_numpy(),
+                    "af1mix": tt["af1mix"].to_numpy(),
+                    "z": tt["z"].to_numpy()}),
+                "cormat": np.asarray(corr)[0, :M, :M].astype(np.float64),
+            })
+        return out
 
     def impute_region(self, start_bp: int, end_bp: int,
                       window_bp: int = 1_000_000,

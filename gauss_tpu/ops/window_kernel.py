@@ -291,6 +291,110 @@ def _pallas_weighted_stats(Gm, Gu, spec: WindowKernelSpec):
         S_u.astype(jnp.float32)
 
 
+def _weighted_mm_stats(Gm, spec: WindowKernelSpec):
+    """Symmetric-only variant of the weighted stats: returns
+    (big_mm [W, Mp, Mp] f32, S_m [W, Mp, P] f32).  Uses the Pallas
+    triangle kernel when eligible, else the exact XLA int8 loop."""
+    bounds = spec.bounds
+    P = len(spec.pop_sizes)
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w = np.asarray(spec.wgts, dtype=np.float64)
+    alpha_np = (w * m / (m - 1.0)).astype(np.float32)
+    W, Mp, S = Gm.shape
+
+    if spec.stats == "pallas" and _pallas_ok(spec, Mp, Mp):
+        from . import pallas_gram as pg
+        pop_idx = np.zeros(S, dtype=np.int32)
+        valid = np.zeros(S, dtype=np.int8)
+        for k in range(P):
+            lo = int(bounds[k])
+            pop_idx[lo:lo + int(spec.pop_sizes_padded[k])] = k
+            valid[lo:lo + int(spec.pop_sizes[k])] = 1
+        oh = np.zeros((S, P), dtype=np.int8)
+        for k in range(P):
+            lo = int(bounds[k])
+            oh[lo:lo + int(spec.pop_sizes[k]), k] = 1
+        dn = (((2,), (1,)), ((0,), (0,)))
+        S_m = jax.lax.dot_general(
+            Gm, jnp.broadcast_to(jnp.asarray(oh), (W, S, P)), dn,
+            preferred_element_type=jnp.int32)
+        mf = jnp.asarray(m.astype(np.float32))
+        c_m = jnp.clip(jnp.round(S_m.astype(jnp.float32) / mf), 0, 2
+                       ).astype(jnp.int32)
+        Sp_m = S_m - jnp.asarray(m.astype(np.int32)) * c_m
+        cs = jnp.take(c_m.astype(jnp.int8), jnp.asarray(pop_idx), axis=2)
+        Gm_c = (Gm - cs) * jnp.asarray(valid)[None, None, :]
+        alpha = jnp.asarray(alpha_np)
+        interpret = jax.default_backend() == "cpu"
+        outs = []
+        for wi in range(W):
+            t1 = pg.weighted_gram_t1(Gm_c[wi], Gm_c[wi], spec.pop_sizes,
+                                     spec.pop_sizes_padded, spec.wgts,
+                                     n_sym=Mp // pg.ROW_TILE,
+                                     interpret=interpret)
+            sx = Sp_m[wi].astype(jnp.float32)
+            t2 = jnp.dot(sx * alpha[None, :], sx.T, precision=_HI,
+                         preferred_element_type=jnp.float32)
+            outs.append(pg.mirror_lower(t1) - t2)
+        return jnp.stack(outs), S_m.astype(jnp.float32)
+
+    # exact XLA int8 fallback (per-pop d_k, see _int8_weighted_stats)
+    big_mm = jnp.zeros((W, Mp, Mp), jnp.float32)
+    Sm_l = []
+    dn = (((2,), (2,)), ((0,), (0,)))
+    for k in range(P):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        a = Gm[:, :, lo:hi]
+        mk = int(spec.pop_sizes[k])
+        Cmm = jax.lax.dot_general(a, a, dn, preferred_element_type=jnp.int32)
+        Sm = jnp.sum(a.astype(jnp.int32), axis=2)
+        d_mm = mk * Cmm - Sm[:, :, None] * Sm[:, None, :]
+        big_mm = big_mm + alpha_np[k] * d_mm.astype(jnp.float32)
+        Sm_l.append(Sm)
+    return big_mm, jnp.stack(Sm_l, axis=2).astype(jnp.float32)
+
+
+def window_corr(Gm, m_mask, spec: WindowKernelSpec):
+    """Batched weighted correlation matrix of a window's measured SNPs
+    (computeLD semantics: src/computeLD.cpp:104-116 -- diag forced to
+    1.0, NO ridge).  Gm: [W, Mp, S] int8, m_mask: [W, Mp].
+    Returns corr [W, Mp, Mp] f32 with identity rows on masked SNPs.
+    """
+    if spec.wgts is None:
+        raise ValueError("window_corr implements the weighted "
+                         "(computeLD) estimator; use pooled_corr for "
+                         "the unweighted case")
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    W, Mp, S = Gm.shape
+
+    big_mm, S_m = _weighted_mm_stats(Gm, spec)
+    mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
+
+    w = jnp.asarray(np.asarray(spec.wgts, dtype=np.float64),
+                    dtype=jnp.float32)
+    mi_m = mu_m @ w
+    mimj = jnp.einsum("wmp,p,wnp->wmn", mu_m, w, mu_m)
+    cov = (big_mm + mimj) - mi_m[:, :, None] * mi_m[:, None, :]
+    var = jnp.einsum("wii->wi", cov)
+    std = jnp.sqrt(jnp.where(m_mask > 0, var, 1.0))
+    corr = cov / (std[:, :, None] * std[:, None, :])
+    mm = (m_mask[:, :, None] * m_mask[:, None, :]).astype(corr.dtype)
+    corr = corr * mm
+    eye = jnp.eye(Mp, dtype=corr.dtype)
+    return corr * (1.0 - eye) + eye
+
+
+def build_gather_ld_kernel(spec: WindowKernelSpec):
+    """Jitted (G_dev [R, S] int8, m_idx [W, Mp] i32, m_mask [W, Mp]) ->
+    corr [W, Mp, Mp] with the panel resident in HBM."""
+    @jax.jit
+    def fn(G_dev, m_idx, m_mask):
+        Gm = jnp.take(G_dev, m_idx, axis=0)
+        return window_corr(Gm, m_mask, spec)
+
+    return fn
+
+
 def _pallas_ok(spec: WindowKernelSpec, Mp: int, Up: int) -> bool:
     from . import pallas_gram as pg
     # on CPU the Pallas kernel only runs interpreted (numpy-speed);

@@ -1,0 +1,97 @@
+"""Multi-host orchestration: jax.distributed + host-sharded panels.
+
+The reference is strictly single-process (SURVEY.md section 2.3); this
+is the green-field TPU-native scale-out layer.  The design follows the
+panel's natural structure:
+
+* **within a slice (ICI)**: the subject axis shards across chips
+  (mesh.subject_shard_layout gives every shard an equal slice of every
+  population) and partial sufficient statistics combine with one psum
+  per window -- cheap, bandwidth-bound collectives over ICI;
+* **across hosts (DCN)**: windows are embarrassingly parallel, so the
+  window axis of the mesh maps to hosts and no genotype data ever
+  crosses DCN -- each host decodes/loads only the panel rows its
+  windows touch (PanelStore.from_bgzf with a bp range), and only the
+  tiny per-window z/info results are gathered.
+
+Process bootstrap is standard JAX multi-process:
+
+    from gauss_tpu.parallel import distributed
+    distributed.initialize()            # reads JAX_COORDINATOR etc.
+    mesh = distributed.global_mesh(n_window=..., n_subject=...)
+
+Under a single process this degrades to the local device mesh, so the
+same program runs 1-chip, 1-host-N-chip and M-host unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+
+def initialize(coordinator_address: Optional[str] = None,
+               num_processes: Optional[int] = None,
+               process_id: Optional[int] = None) -> None:
+    """Initialize jax.distributed from args or standard env vars
+    (JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID).
+    No-op when neither args nor env are present (single process)."""
+    import jax
+
+    addr = coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS")
+    if addr is None:
+        return
+    kwargs = {"coordinator_address": addr}
+    npz = (num_processes if num_processes is not None
+           else os.environ.get("JAX_NUM_PROCESSES"))
+    pid = (process_id if process_id is not None
+           else os.environ.get("JAX_PROCESS_ID"))
+    if npz is not None:
+        kwargs["num_processes"] = int(npz)
+    if pid is not None:
+        kwargs["process_id"] = int(pid)
+    jax.distributed.initialize(**kwargs)
+
+
+def global_mesh(n_window: Optional[int] = None,
+                n_subject: Optional[int] = None):
+    """(window x subject) mesh over ALL processes' devices.
+
+    Defaults: the subject axis spans the devices of one process (so
+    its psum rides ICI within the host's chips) and the window axis
+    spans processes (independent work, nothing but results on DCN).
+    """
+    import jax
+    from jax.sharding import Mesh
+
+    devices = np.array(jax.devices())
+    n_local = jax.local_device_count()
+    n_total = len(devices)
+    if n_subject is None:
+        n_subject = n_local
+    if n_window is None:
+        n_window = n_total // n_subject
+    if n_window * n_subject != n_total:
+        raise ValueError(
+            f"mesh {n_window}x{n_subject} != {n_total} devices")
+    return Mesh(devices.reshape(n_window, n_subject),
+                axis_names=("window", "subject"))
+
+
+def host_window_ranges(start_bp: int, end_bp: int, window_bp: int,
+                       num_hosts: int, host_id: int
+                       ) -> Tuple[int, int]:
+    """Contiguous bp sub-range of [start_bp, end_bp] owned by one host
+    when windows are striped across hosts in contiguous blocks (keeps
+    each host's panel decode to one bp range)."""
+    n_windows = max(1, -(-(end_bp - start_bp + 1) // window_bp))
+    per = -(-n_windows // num_hosts)
+    lo_w = host_id * per
+    hi_w = min(n_windows, lo_w + per)
+    if lo_w >= n_windows:
+        return (end_bp + 1, end_bp)     # empty range
+    lo = start_bp + lo_w * window_bp
+    hi = min(end_bp, start_bp + hi_w * window_bp - 1)
+    return (lo, hi)

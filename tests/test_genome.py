@@ -89,3 +89,29 @@ def test_engine_region_tiling(store, synpanel, gwas_input):
     # two windows tile the region: every kept SNP appears exactly once
     assert res["bp"].is_unique
     assert res["bp"].min() >= lo and res["bp"].max() <= hi
+
+
+def test_engine_ld_window_matches_compute_ld(store, synpanel, gwas_input):
+    """Device ld_window == host compute_ld (computeLD semantics)."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo = int(bp.min())
+    hi = lo + (int(bp.max()) - lo) // 2
+
+    host = gauss_tpu.compute_ld(
+        22, lo, hi, POP_WGT, path,
+        synpanel.files.index_file, synpanel.files.data_file,
+        synpanel.files.pop_desc_file, af1_cutoff=0.01)
+
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=0)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    run = eng.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    dev = run.ld_window(lo, hi)
+
+    assert list(dev["snplist"]["rsid"]) == list(host["snplist"]["rsid"])
+    np.testing.assert_allclose(dev["cormat"], host["cormat"],
+                               rtol=2e-4, atol=2e-4)
