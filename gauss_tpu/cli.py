@@ -155,6 +155,10 @@ def main(argv=None):
                    help="append phase timings to this JSONL file")
     p.add_argument("--status", action="store_true",
                    help="print the run's chunk ledger and exit")
+    p.add_argument("--stream", action="store_true",
+                   help="decode the panel per chunk instead of holding "
+                        "the whole range in RAM (for panels larger than "
+                        "host memory)")
 
     args = ap.parse_args(argv)
 
@@ -259,13 +263,17 @@ def main(argv=None):
         from gauss_tpu.models.genome import GenomeEngine, PanelStore
         from gauss_tpu.models.runner import GenomeRunner
         from gauss_tpu.utils.timing import Tracer
-        if args.panel_cache:
+        pf = PanelFiles(args.reference_index_file,
+                        args.reference_data_file,
+                        args.reference_pop_desc_file)
+        panel_files = None
+        if args.stream:
+            store = None              # decoded chunk-by-chunk
+            panel_files = pf
+        elif args.panel_cache:
             store = PanelStore.load(args.panel_cache)
         else:
-            store = PanelStore.from_bgzf(
-                PanelFiles(args.reference_index_file,
-                           args.reference_data_file,
-                           args.reference_pop_desc_file), chrom=args.chr)
+            store = PanelStore.from_bgzf(pf, chrom=args.chr)
         inp = readers.read_input_z(args.input_file, chrom=args.chr,
                                    start_bp=args.start_bp,
                                    end_bp=args.end_bp,
@@ -276,7 +284,8 @@ def main(argv=None):
             readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),
             af1_cutoff=args.af1_cutoff, window_bp=args.window_bp,
             wing_size=args.wing_size, chunk_bp=args.chunk_bp,
-            tracer=Tracer(verbose=True, log_file=args.trace_log))
+            tracer=Tracer(verbose=True, log_file=args.trace_log),
+            panel_files=panel_files)
         runner.plan(args.chr, args.start_bp, args.end_bp)
         if args.status:
             print(json.dumps(runner.status()))

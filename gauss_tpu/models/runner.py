@@ -83,7 +83,15 @@ class GenomeRunner:
                  window_bp: int = 1_000_000,
                  wing_size: int = 500_000,
                  chunk_bp: int = 16_000_000,
-                 tracer: Tracer = NULL_TRACER):
+                 tracer: Tracer = NULL_TRACER,
+                 panel_files=None):
+        """``engine`` holds the resident panel.  With ``panel_files``
+        set (a PanelFiles), the runner instead runs in STREAMING mode:
+        each chunk decodes only its own [start - wing, end + wing]
+        panel range into the engine, so a whole-chromosome run never
+        materializes more than one chunk of the panel in RAM/HBM
+        (SURVEY.md section 7 hard-part 5) -- the engine's compiled
+        kernels are shape-keyed and reused across chunks."""
         self.run_dir = run_dir
         self.engine = engine
         self.input_df = input_df
@@ -93,6 +101,7 @@ class GenomeRunner:
         self.wing_size = wing_size
         self.chunk_bp = chunk_bp
         self.tracer = tracer
+        self.panel_files = panel_files
         self.chunks: Dict[str, ChunkState] = {}
         self._run = None
         os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
@@ -126,11 +135,15 @@ class GenomeRunner:
              end_bp: Optional[int] = None) -> None:
         """Lay out chunk boundaries; no-op for chunks already planned
         (so a resumed run keeps its ledger)."""
-        idx = self.engine.store.index
-        if start_bp is None:
-            start_bp = int(idx["bp"].min())
-        if end_bp is None:
-            end_bp = int(idx["bp"].max())
+        if start_bp is None or end_bp is None:
+            if self.engine.store is None:
+                raise ValueError("streaming mode needs explicit "
+                                 "start_bp/end_bp")
+            idx = self.engine.store.index
+            if start_bp is None:
+                start_bp = int(idx["bp"].min())
+            if end_bp is None:
+                end_bp = int(idx["bp"].max())
         lo = start_bp
         while lo <= end_bp:
             hi = min(lo + self.chunk_bp - 1, end_bp)
@@ -141,7 +154,20 @@ class GenomeRunner:
         self._save_manifest()
 
     # -- execution --------------------------------------------------------
-    def _prepared(self):
+    def _prepared(self, cs: Optional[ChunkState] = None):
+        if self.panel_files is not None and cs is not None:
+            # streaming: decode this chunk's panel range (plus wings)
+            # and prepare against it; the engine's compiled kernels are
+            # shape-keyed, so they carry over between chunks.
+            with self.tracer.phase("decode_chunk", key=cs.key):
+                self.engine.store = PanelStore.from_bgzf(
+                    self.panel_files, chrom=cs.chrom,
+                    start_bp=cs.start_bp - self.wing_size,
+                    end_bp=cs.end_bp + self.wing_size)
+            with self.tracer.phase("prepare_chunk", key=cs.key):
+                return self.engine.prepare_mix(
+                    self.input_df, self.pop_wgt,
+                    af1_cutoff=self.af1_cutoff)
         if self._run is None:
             with self.tracer.phase("prepare", snps=len(self.input_df)):
                 self._run = self.engine.prepare_mix(
@@ -167,7 +193,7 @@ class GenomeRunner:
             t0 = time.time()
             try:
                 with self.tracer.phase("chunk", key=cs.key):
-                    run = self._prepared()
+                    run = self._prepared(cs)
                     df = run.impute_region(cs.start_bp, cs.end_bp,
                                            window_bp=self.window_bp,
                                            wing_size=self.wing_size)

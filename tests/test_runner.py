@@ -25,11 +25,11 @@ def setup(tmp_path_factory):
     inp = readers.read_input_z(zin, chrom=22, start_bp=1_000_000,
                                end_bp=2_800_000, wing_size=200_000)
     pop_wgt = {pop: 1.0 / len(p.desc.pops) for pop in p.desc.pops}
-    return store, inp, pop_wgt
+    return store, inp, pop_wgt, p.files
 
 
 def _runner(tmp_path, setup, **kw):
-    store, inp, pop_wgt = setup
+    store, inp, pop_wgt = setup[:3]
     eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
     return GenomeRunner(str(tmp_path), eng, inp, pop_wgt,
                         window_bp=600_000, wing_size=200_000,
@@ -74,8 +74,8 @@ def test_failure_recorded_then_resumed(tmp_path, setup, monkeypatch):
     class Boom(RuntimeError):
         pass
 
-    def flaky(self):
-        run = real(self)
+    def flaky(self, cs=None):
+        run = real(self, cs)
         orig = run.impute_region
 
         def wrapped(start_bp, end_bp, **kw):
@@ -101,3 +101,28 @@ def test_failure_recorded_then_resumed(tmp_path, setup, monkeypatch):
     stats2 = r.run(resume=True)
     assert stats2["failed"] == 0 and stats2["done"] == 1
     assert r.status()["failed"] == 0
+
+
+def test_streaming_matches_resident(tmp_path, setup):
+    """Per-chunk panel decode (streaming) == resident-panel run."""
+    store, inp, pop_wgt = setup[:3]
+    d1 = tmp_path / "resident"
+    r1 = _runner(d1, setup)
+    r1.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    r1.run()
+
+    # streaming: engine starts with NO store; panel decoded per chunk
+    d2 = tmp_path / "streaming"
+    eng = GenomeEngine(None, snp_bucket=64, device_linalg=True)
+    r2 = GenomeRunner(str(d2), eng, inp, pop_wgt,
+                      window_bp=600_000, wing_size=200_000,
+                      chunk_bp=600_000, panel_files=setup[3])
+    r2.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r2.run()
+    assert stats["failed"] == 0
+    a = r1.collect()
+    b = r2.collect()
+    assert len(a) == len(b)
+    np.testing.assert_array_equal(a["rsid"].to_numpy(), b["rsid"].to_numpy())
+    np.testing.assert_allclose(a["z"].to_numpy(), b["z"].to_numpy(),
+                               rtol=0, atol=0)
