@@ -18,8 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 import pandas as pd
@@ -30,13 +29,13 @@ from ..io import readers
 from ..io.panel import PanelReader, read_panel_index
 from ..ops.window_kernel import (WindowKernelSpec, build_gather_ld_kernel,
                                  build_gather_window_kernel,
+                                 build_qcat_region_kernel,
                                  build_region_kernel, build_window_kernel,
                                  pad_pop_segments)
-from ..utils.special import pnorm_two_sided
+from ..utils.special import pchisq_upper, pnorm_two_sided
 
 import jax
 import jax.numpy as jnp
-from functools import partial
 
 
 # ---------------------------------------------------------------------------
@@ -434,6 +433,89 @@ class PreparedRun:
                 "cormat": np.asarray(corr)[0, :M, :M].astype(np.float64),
             })
         return out
+
+    def qcat_region(self, start_bp: int, end_bp: int,
+                    window_bp: int = 1_000_000,
+                    wing_size: int = 500_000) -> pd.DataFrame:
+        """QCAT causality tests over consecutive windows as ONE device
+        dispatch (qcatmix semantics when prepared with weights, qcat
+        otherwise; reference src/qcat.cpp:134-262).  Note the reference
+        qcat/qcatmix default af1_cutoff is 0.05 -- pass it to
+        prepare_mix/prepare_homog."""
+        spans = []
+        lo = start_bp
+        while lo <= end_bp:
+            hi = min(lo + window_bp - 1, end_bp)
+            spans.append((lo, hi))
+            lo = hi + 1
+        plans = []
+        for lo, hi in spans:
+            plan = self._window_plan(lo, hi, wing_size)
+            if plan is not None:
+                plans.append((lo, hi, plan))
+        if not plans:
+            return pd.DataFrame()
+        t = self.table
+        bp = t["bp"].to_numpy()
+        zcol = t["z"].to_numpy()
+        Mp = max(p[2][4] for p in plans)
+        Up = max(p[2][5] for p in plans)
+        W = len(plans)
+        Wp = _round_up(W, self.engine.window_bucket)
+        m_idx = np.zeros((Wp, Mp), dtype=np.int32)
+        u_idx = np.zeros((Wp, Up), dtype=np.int32)
+        Z1b = np.zeros((Wp, Mp))
+        m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+        u_maskb = np.zeros((Wp, Up), dtype=np.float32)
+        for i, (_, _, plan) in enumerate(plans):
+            m_rows, u_rows, M, U, *_ = plan
+            m_idx[i, :M] = self.g_row[m_rows]
+            u_idx[i, :U] = self.g_row[u_rows]
+            Z1b[i, :M] = zcol[m_rows]
+            m_maskb[i, :M] = 1.0
+            u_maskb[i, :U] = 1.0
+        key = ("qcat_region", self.pop_sizes, self.wgts)
+        fn = self.engine._fused_fns.get(key)
+        if fn is None:
+            fn = build_qcat_region_kernel(
+                self.engine._spec(self.pop_sizes, self.wgts))
+            self.engine._fused_fns[key] = fn
+        t_m, chi_m, t_u, chi_u, n_eig = (
+            np.asarray(a) for a in fn(self._device_panel(), m_idx, u_idx,
+                                      Z1b, m_maskb, u_maskb))
+
+        qm = np.zeros(len(t), dtype=np.int64)
+        qt = np.zeros(len(t))
+        qc = np.zeros(len(t))
+        emit = np.zeros(len(t), dtype=bool)
+        for i, (lo, hi, plan) in enumerate(plans):
+            m_rows, u_rows, M, U, *_ = plan
+            pm = (bp[m_rows] >= lo) & (bp[m_rows] <= hi)
+            rows = m_rows[pm]
+            qm[rows] = int(n_eig[i])
+            qt[rows] = t_m[i, :M][pm].astype(np.float64)
+            qc[rows] = chi_m[i, :M][pm].astype(np.float64)
+            qm[u_rows] = int(n_eig[i])
+            qt[u_rows] = t_u[i, :U].astype(np.float64)
+            qc[u_rows] = chi_u[i, :U].astype(np.float64)
+            emit |= (bp >= lo) & (bp <= hi)
+        tt = t[emit]
+        sel = np.flatnonzero(emit)
+        af_col = "af1mix" if self.wgts is not None else "af1ref"
+        return pd.DataFrame({
+            "rsid": tt["rsid"].to_numpy(),
+            "chr": tt["chr"].to_numpy(),
+            "bp": tt["bp"].to_numpy(),
+            "a1": tt["a1"].to_numpy(),
+            "a2": tt["a2"].to_numpy(),
+            af_col: tt[af_col].to_numpy(),
+            "z": tt["z"].to_numpy(),
+            "qcat_m": qm[sel],
+            "qcat_t": qt[sel],
+            "qcat_chisq": qc[sel],
+            "qcat_pval": pchisq_upper(qc[sel], 1),
+            "type": tt["type"].to_numpy(),
+        })
 
     def impute_region(self, start_bp: int, end_bp: int,
                       window_bp: int = 1_000_000,

@@ -406,17 +406,14 @@ def _pallas_ok(spec: WindowKernelSpec, Mp: int, Up: int) -> bool:
             and all(sp % pg.K_TILE == 0 for sp in spec.pop_sizes_padded))
 
 
-def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
-                  axis_name: Optional[str] = None,
-                  subject_valid: Optional[jnp.ndarray] = None):
-    """Batched dist/distmix imputation.
-
-    Gm: [W, Mp, S] int8, Gu: [W, Up, S] int8, Z1: [W, Mp] f64/f32,
-    masks: [W, Mp]/[W, Up] (1 = real SNP).  ``subject_valid`` [S] f32
-    overrides the static validity mask (needed under shard_map where
-    each shard's padding differs).  Returns (z [W, Up], info [W, Up])
-    in f32, garbage where u_mask == 0.
-    """
+def window_corr_blocks(Gm, Gu, m_mask, u_mask, spec: WindowKernelSpec,
+                       axis_name: Optional[str] = None,
+                       subject_valid: Optional[jnp.ndarray] = None):
+    """Batched correlation blocks of a window: B11 [W, Mp, Mp] (ridge
+    diagonal 1 + lam, identity rows on masked SNPs) and B21 [W, Up, Mp]
+    (masked rows/cols zeroed) in f32.  The stats path (pallas / int8 /
+    centered) is chosen per spec.stats and sharding (see module
+    docstring)."""
     pop_idx, valid_np, onehot_np = subject_static_arrays(spec)
     valid = jnp.asarray(valid_np) if subject_valid is None else subject_valid
     coef = _center_coef(spec, pop_idx, valid)
@@ -509,10 +506,23 @@ def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
     eye = jnp.eye(B11.shape[1], dtype=B11.dtype)
     B11 = B11 * (1.0 - eye) + (1.0 + spec.lam) * eye
     B21 = B21 * (u_mask[:, :, None] * m_mask[:, None, :]).astype(B21.dtype)
+    return B11.astype(jnp.float32), B21.astype(jnp.float32)
 
-    # dense solves in f32 on device (parity path does f64 on host)
-    B11f = B11.astype(jnp.float32)
-    B21f = B21.astype(jnp.float32)
+
+def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
+                  axis_name: Optional[str] = None,
+                  subject_valid: Optional[jnp.ndarray] = None):
+    """Batched dist/distmix imputation.
+
+    Gm: [W, Mp, S] int8, Gu: [W, Up, S] int8, Z1: [W, Mp] f64/f32,
+    masks: [W, Mp]/[W, Up] (1 = real SNP).  ``subject_valid`` [S] f32
+    overrides the static validity mask (needed under shard_map where
+    each shard's padding differs).  Returns (z [W, Up], info [W, Up])
+    in f32, garbage where u_mask == 0.
+    """
+    B11f, B21f = window_corr_blocks(Gm, Gu, m_mask, u_mask, spec,
+                                    axis_name=axis_name,
+                                    subject_valid=subject_valid)
     if spec.solver == "eigh":
         # literal MakePosDef (eigval clip) + inverse, fused through eigh
         w_eig, v = jnp.linalg.eigh(B11f)
@@ -533,6 +543,81 @@ def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
                               preferred_element_type=jnp.float32))
     z = z2 / jnp.sqrt(info)
     return z, info
+
+
+def _masked_column_corr(Zt, X, mask, n):
+    """Pearson correlation of Zt [W, Mp] with each column of X
+    [W, Mp, C], over the ``mask``-selected rows only (n = true row
+    count per window).  Matches the reference's CalCor on Eigen vectors
+    (src/util.cpp:194-203) with padding excluded exactly."""
+    Zm = Zt * mask
+    Xm = X * mask[:, :, None]
+    zbar = jnp.sum(Zm, axis=1, keepdims=True) / n[:, None]
+    xbar = jnp.sum(Xm, axis=1) / n[:, None]                  # [W, C]
+    szx = jnp.einsum("wm,wmc->wc", Zm, Xm,
+                     preferred_element_type=jnp.float32)
+    szz = jnp.sum(Zm * Zm, axis=1, keepdims=True)
+    sxx = jnp.einsum("wmc,wmc->wc", Xm, Xm,
+                     preferred_element_type=jnp.float32)
+    cov = szx - n[:, None] * zbar * xbar
+    vz = szz - n[:, None] * zbar * zbar
+    vx = sxx - n[:, None] * xbar * xbar
+    return cov / jnp.sqrt(jnp.maximum(vz * vx, 1e-30))
+
+
+def window_qcat(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec):
+    """Batched QCAT tests (reference: run_qcat src/qcat.cpp:134-262,
+    run_qcatmix src/qcatmix.cpp:145-286).
+
+    num_eig note: the reference sets num_eig = CountPC(B11, 0.01), but
+    B11 = R + lam*I with R PSD and lam = 0.1, so EVERY eigenvalue is
+    >= 0.1 > 0.01 and num_eig always equals the measured count M; the
+    device path uses M directly (the host path keeps literal CountPC).
+
+    Returns (t_m [W, Mp], chi_m [W, Mp], t_u [W, Up], chi_u [W, Up],
+    num_eig [W]); garbage where the masks are 0.
+    """
+    B11f, B21f = window_corr_blocks(Gm, Gu, m_mask, u_mask, spec)
+    n = jnp.sum(m_mask, axis=1)                               # = num_eig
+    L = jnp.linalg.cholesky(B11f)
+    # decorrelate: Zt = L^-1 Z1; Xm = L^-1 B11 (cols = measured SNPs);
+    # Xu = L^-1 B21^T  (src/qcat.cpp:204-208,221-246)
+    Zt = jax.scipy.linalg.solve_triangular(
+        L, Z1.astype(jnp.float32)[:, :, None], lower=True)[:, :, 0]
+    Xm = jax.scipy.linalg.solve_triangular(L, B11f, lower=True)
+    Xu = jax.scipy.linalg.solve_triangular(L, B21f.transpose(0, 2, 1),
+                                           lower=True)
+    scale2 = jnp.maximum(n - 3.0, 0.0)
+    r_m = _masked_column_corr(Zt, Xm, m_mask, n)
+    r_u = _masked_column_corr(Zt, Xu, m_mask, n)
+    return (jnp.sqrt(scale2)[:, None] * r_m,
+            scale2[:, None] * r_m * r_m,
+            jnp.sqrt(scale2)[:, None] * r_u,
+            scale2[:, None] * r_u * r_u,
+            n)
+
+
+def build_qcat_region_kernel(spec: WindowKernelSpec):
+    """One dispatch for a batch of QCAT windows (see
+    build_region_kernel).  Jitted (G_dev, m_idx [W, Mp], u_idx [W, Up],
+    Z1, m_mask, u_mask) -> (t_m, chi_m, t_u, chi_u, num_eig)."""
+    @jax.jit
+    def fn(G_dev, m_idx, u_idx, Z1, m_mask, u_mask):
+        W = m_idx.shape[0]
+        B = next(b for b in (4, 2, 1) if W % b == 0)
+
+        def body(_, xs):
+            mi, ui, z1, mm, um = xs
+            Gm = jnp.take(G_dev, mi, axis=0)
+            Gu = jnp.take(G_dev, ui, axis=0)
+            return None, window_qcat(Gm, Gu, z1, mm, um, spec)
+
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
+                   for a in (m_idx, u_idx, Z1, m_mask, u_mask))
+        _, outs = jax.lax.scan(body, None, xs)
+        return tuple(o.reshape((W,) + o.shape[2:]) for o in outs)
+
+    return fn
 
 
 def build_window_kernel(spec: WindowKernelSpec, axis_name=None):

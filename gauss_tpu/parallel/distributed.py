@@ -27,7 +27,7 @@ same program runs 1-chip, 1-host-N-chip and M-host unchanged.
 from __future__ import annotations
 
 import os
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Tuple
 
 import numpy as np
 

@@ -21,7 +21,7 @@ from typing import Optional, Sequence, Tuple
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import stats
 from ..ops.window_kernel import WindowKernelSpec, pad_pop_segments, window_impute

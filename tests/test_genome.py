@@ -115,3 +115,38 @@ def test_engine_ld_window_matches_compute_ld(store, synpanel, gwas_input):
     assert list(dev["snplist"]["rsid"]) == list(host["snplist"]["rsid"])
     np.testing.assert_allclose(dev["cormat"], host["cormat"],
                                rtol=2e-4, atol=2e-4)
+
+
+def test_engine_qcat_region_matches_qcatmix(store, synpanel, gwas_input):
+    """Device qcat_region == host qcatmix per window."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    p_lo = lo + (hi - lo) // 3
+    p_hi = lo + 2 * (hi - lo) // 3
+    wing = (hi - lo) // 3
+
+    host = gauss_tpu.qcatmix(22, p_lo, p_hi, wing, POP_WGT, path,
+                             synpanel.files.index_file,
+                             synpanel.files.data_file,
+                             synpanel.files.pop_desc_file,
+                             af1_cutoff=0.05)
+
+    inp = readers.read_input_z(path, chrom=22, start_bp=p_lo, end_bp=p_hi,
+                               wing_size=wing)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    run = eng.prepare_mix(inp, pop_wgt, af1_cutoff=0.05)
+    dev = run.qcat_region(p_lo, p_hi, window_bp=p_hi - p_lo + 1,
+                          wing_size=wing)
+
+    m = dev.merge(host, on=["rsid", "chr", "bp", "a1", "a2"],
+                  suffixes=("_d", "_h"))
+    assert len(m) == len(host)
+    assert (m["qcat_m_d"] == m["qcat_m_h"]).all()
+    np.testing.assert_allclose(m["qcat_t_d"], m["qcat_t_h"],
+                               rtol=2e-4, atol=2e-4)
+    np.testing.assert_allclose(m["qcat_chisq_d"], m["qcat_chisq_h"],
+                               rtol=5e-4, atol=5e-4)
