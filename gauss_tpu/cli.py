@@ -135,6 +135,15 @@ def main(argv=None):
                    help="use a decoded panel cache dir instead of bgzf")
     p.add_argument("--device-linalg", action="store_true")
 
+    p = sub.add_parser("qcat-region",
+                       help="genome-scale windowed qcatmix over a cached "
+                            "or bgzf panel")
+    _ref_args(p, window=True, pop="wgt")
+    p.add_argument("--window-bp", type=int, default=1_000_000)
+    p.add_argument("--wing-size", type=int, default=500_000)
+    p.add_argument("--af1-cutoff", type=float, default=0.05)
+    p.add_argument("--panel-cache", default=None)
+
     p = sub.add_parser("impute-genome",
                        help="checkpointed chunked distmix over a whole "
                             "chromosome/region; resumable (--run-dir)")
@@ -256,6 +265,29 @@ def main(argv=None):
         df = run.impute_region(args.start_bp, args.end_bp,
                                window_bp=args.window_bp,
                                wing_size=args.wing_size)
+        _emit(df, args.output)
+    elif args.cmd == "qcat-region":
+        from gauss_tpu.config import PanelFiles
+        from gauss_tpu.io import readers
+        from gauss_tpu.models.genome import GenomeEngine, PanelStore
+        if args.panel_cache:
+            store = PanelStore.load(args.panel_cache)
+        else:
+            store = PanelStore.from_bgzf(
+                PanelFiles(args.reference_index_file,
+                           args.reference_data_file,
+                           args.reference_pop_desc_file), chrom=args.chr)
+        inp = readers.read_input_z(args.input_file, chrom=args.chr,
+                                   start_bp=args.start_bp,
+                                   end_bp=args.end_bp,
+                                   wing_size=args.wing_size)
+        eng = GenomeEngine(store, device_linalg=True)
+        run = eng.prepare_mix(
+            inp, readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),
+            af1_cutoff=args.af1_cutoff)
+        df = run.qcat_region(args.start_bp, args.end_bp,
+                             window_bp=args.window_bp,
+                             wing_size=args.wing_size)
         _emit(df, args.output)
     elif args.cmd == "impute-genome":
         from gauss_tpu.config import PanelFiles

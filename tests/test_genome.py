@@ -150,3 +150,23 @@ def test_engine_qcat_region_matches_qcatmix(store, synpanel, gwas_input):
                                rtol=2e-4, atol=2e-4)
     np.testing.assert_allclose(m["qcat_chisq_d"], m["qcat_chisq_h"],
                                rtol=5e-4, atol=5e-4)
+
+
+def test_region_determinism(store, synpanel, gwas_input):
+    """Two identical region runs are byte-deterministic (the replacement
+    for race detection in a single-process framework: no run-to-run
+    nondeterminism from reductions or scheduling)."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=0)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    run = eng.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    wbp = (hi - lo) // 3 + 1
+    a = run.impute_region(lo, hi, window_bp=wbp, wing_size=wbp // 2)
+    b = run.impute_region(lo, hi, window_bp=wbp, wing_size=wbp // 2)
+    assert a.equals(b)
