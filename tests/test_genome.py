@@ -170,3 +170,36 @@ def test_region_determinism(store, synpanel, gwas_input):
     a = run.impute_region(lo, hi, window_bp=wbp, wing_size=wbp // 2)
     b = run.impute_region(lo, hi, window_bp=wbp, wing_size=wbp // 2)
     assert a.equals(b)
+
+
+def test_engine_homog_matches_percall_dist(store, synpanel, gwas_input):
+    """Unweighted (dist) engine path == per-call dist host results."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    p_lo = lo + (hi - lo) // 3
+    p_hi = lo + 2 * (hi - lo) // 3
+    wing = hi - lo
+
+    ref = gauss_tpu.dist(22, p_lo, p_hi, wing, "EUR", path,
+                         synpanel.files.index_file,
+                         synpanel.files.data_file,
+                         synpanel.files.pop_desc_file, af1_cutoff=0.01)
+
+    inp = readers.read_input_z(path, chrom=22, start_bp=p_lo, end_bp=p_hi,
+                               wing_size=wing)
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    run = eng.prepare_homog(inp, "EUR", af1_cutoff=0.01)
+    dev = run.impute_region(p_lo, p_hi, window_bp=p_hi - p_lo + 1,
+                            wing_size=wing)
+
+    m = dev.merge(ref, on=["rsid", "chr", "bp", "a1", "a2"],
+                  suffixes=("_d", "_h"))
+    assert len(m) == len(ref)
+    imp = m["type_d"] == 0
+    np.testing.assert_allclose(m.loc[imp, "z_d"], m.loc[imp, "z_h"],
+                               rtol=2e-3, atol=2e-3)
+    np.testing.assert_allclose(m.loc[imp, "info_d"], m.loc[imp, "info_h"],
+                               rtol=2e-3, atol=2e-3)
