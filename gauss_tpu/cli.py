@@ -168,6 +168,9 @@ def main(argv=None):
                    help="decode the panel per chunk instead of holding "
                         "the whole range in RAM (for panels larger than "
                         "host memory)")
+    p.add_argument("--analysis", choices=["impute", "qcat"],
+                   default="impute",
+                   help="which windowed analysis to run per chunk")
 
     args = ap.parse_args(argv)
 
@@ -317,7 +320,7 @@ def main(argv=None):
             af1_cutoff=args.af1_cutoff, window_bp=args.window_bp,
             wing_size=args.wing_size, chunk_bp=args.chunk_bp,
             tracer=Tracer(verbose=True, log_file=args.trace_log),
-            panel_files=panel_files)
+            panel_files=panel_files, analysis=args.analysis)
         runner.plan(args.chr, args.start_bp, args.end_bp)
         if args.status:
             print(json.dumps(runner.status()))

@@ -84,7 +84,8 @@ class GenomeRunner:
                  wing_size: int = 500_000,
                  chunk_bp: int = 16_000_000,
                  tracer: Tracer = NULL_TRACER,
-                 panel_files=None):
+                 panel_files=None,
+                 analysis: str = "impute"):
         """``engine`` holds the resident panel.  With ``panel_files``
         set (a PanelFiles), the runner instead runs in STREAMING mode:
         each chunk decodes only its own [start - wing, end + wing]
@@ -102,6 +103,9 @@ class GenomeRunner:
         self.chunk_bp = chunk_bp
         self.tracer = tracer
         self.panel_files = panel_files
+        if analysis not in ("impute", "qcat"):
+            raise ValueError(f"unknown analysis '{analysis}'")
+        self.analysis = analysis
         self.chunks: Dict[str, ChunkState] = {}
         self._run = None
         os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
@@ -194,9 +198,11 @@ class GenomeRunner:
             try:
                 with self.tracer.phase("chunk", key=cs.key):
                     run = self._prepared(cs)
-                    df = run.impute_region(cs.start_bp, cs.end_bp,
-                                           window_bp=self.window_bp,
-                                           wing_size=self.wing_size)
+                    region = (run.impute_region if self.analysis == "impute"
+                              else run.qcat_region)
+                    df = region(cs.start_bp, cs.end_bp,
+                                window_bp=self.window_bp,
+                                wing_size=self.wing_size)
                 df.to_parquet(self._result_path(cs))
                 cs.status = "done"
                 cs.error = None

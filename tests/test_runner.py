@@ -126,3 +126,12 @@ def test_streaming_matches_resident(tmp_path, setup):
     np.testing.assert_array_equal(a["rsid"].to_numpy(), b["rsid"].to_numpy())
     np.testing.assert_allclose(a["z"].to_numpy(), b["z"].to_numpy(),
                                rtol=0, atol=0)
+
+
+def test_qcat_analysis_runner(tmp_path, setup):
+    r = _runner(tmp_path / "qcatrun", setup, analysis="qcat")
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r.run()
+    assert stats["failed"] == 0 and stats["done"] >= 2
+    df = r.collect()
+    assert "qcat_chisq" in df.columns and len(df) > 0
