@@ -151,7 +151,9 @@ def main(argv=None):
     p.add_argument("--window-bp", type=int, default=1_000_000)
     p.add_argument("--wing-size", type=int, default=500_000)
     p.add_argument("--chunk-bp", type=int, default=16_000_000)
-    p.add_argument("--af1-cutoff", type=float, default=0.01)
+    p.add_argument("--af1-cutoff", type=float, default=None,
+                   help="default 0.01 (0.05 for --analysis qcat, "
+                        "matching the reference qcat default)")
     p.add_argument("--panel-cache", default=None)
     p.add_argument("--run-dir", required=True,
                    help="checkpoint directory (manifest + result shards)")
@@ -293,11 +295,34 @@ def main(argv=None):
                              wing_size=args.wing_size)
         _emit(df, args.output)
     elif args.cmd == "impute-genome":
+        import os
         from gauss_tpu.config import PanelFiles
         from gauss_tpu.io import readers
         from gauss_tpu.models.genome import GenomeEngine, PanelStore
-        from gauss_tpu.models.runner import GenomeRunner
+        from gauss_tpu.models.runner import GenomeRunner, MANIFEST
         from gauss_tpu.utils.timing import Tracer
+        if args.af1_cutoff is None:
+            # reference qcat/qcatmix default 0.05 (src/qcat.cpp:52-56);
+            # everything else 0.01
+            args.af1_cutoff = 0.05 if args.analysis == "qcat" else 0.01
+        if args.status:
+            # read-only: never decode the panel or rewrite the manifest
+            mpath = os.path.join(args.run_dir, MANIFEST)
+            if not os.path.exists(mpath):
+                raise SystemExit(f"ERROR: no manifest at {mpath}")
+            with open(mpath) as fh:
+                data = json.load(fh)
+            counts = {"pending": 0, "done": 0, "failed": 0}
+            for c in data.get("chunks", []):
+                counts[c["status"]] = counts.get(c["status"], 0) + 1
+            print(json.dumps(counts))
+            for c in data.get("chunks", []):
+                line = (f"{c['chrom']}_{c['start_bp']}_{c['end_bp']}\t"
+                        f"{c['status']}\t{c['n_rows']} rows")
+                if c.get("error"):
+                    line += "\t" + c["error"].splitlines()[0]
+                print(line, file=sys.stderr)
+            return
         pf = PanelFiles(args.reference_index_file,
                         args.reference_data_file,
                         args.reference_pop_desc_file)
@@ -322,14 +347,6 @@ def main(argv=None):
             tracer=Tracer(verbose=True, log_file=args.trace_log),
             panel_files=panel_files, analysis=args.analysis)
         runner.plan(args.chr, args.start_bp, args.end_bp)
-        if args.status:
-            print(json.dumps(runner.status()))
-            for cs in runner.chunks.values():
-                line = f"{cs.key}\t{cs.status}\t{cs.n_rows} rows"
-                if cs.error:
-                    line += "\t" + cs.error.splitlines()[0]
-                print(line, file=sys.stderr)
-            return
         stats = runner.run(resume=not args.restart)
         print(f"[gauss_tpu] chunks done={stats['done']} "
               f"failed={stats['failed']} skipped={stats['skipped']}",

@@ -201,7 +201,8 @@ def join_annotation(
         "wgt": annot_df["wgt"].to_numpy()[em],
     }))
 
-    sm = ~np.isnan(hit_exact) * False | (~np.isnan(hit_swap) & np.isnan(hit_exact))
+    # swapped-orientation matches: only annotation rows with NO exact hit
+    sm = ~np.isnan(hit_swap) & np.isnan(hit_exact)
     if sm.any():
         rows = hit_swap[sm].astype(np.int64)
         urows, first_pos = np.unique(rows, return_index=True)

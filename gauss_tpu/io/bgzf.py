@@ -144,18 +144,17 @@ class BgzfReader:
         return make_vaddr(self._coffset, self._uoffset)
 
     def _advance_block(self) -> bool:
-        nxt = self._coffset + self._block_clen
-        payload, clen = _read_block_at(self._fh, nxt)
-        if clen == 0 or len(payload) == 0:
-            # empty payload: could be EOF sentinel; try one more block
+        """Load the next non-empty block; skips empty blocks (e.g. the
+        EOF sentinel) iteratively.  Returns False at physical EOF."""
+        while True:
+            nxt = self._coffset + self._block_clen
+            payload, clen = _read_block_at(self._fh, nxt)
             if clen == 0:
                 return False
             self._coffset, self._block, self._block_clen = nxt, payload, clen
             self._uoffset = 0
-            return self._advance_block()
-        self._coffset, self._block, self._block_clen = nxt, payload, clen
-        self._uoffset = 0
-        return True
+            if payload:
+                return True
 
     def readline(self) -> Optional[bytes]:
         """Read a text line from the current virtual position.
@@ -193,6 +192,20 @@ class BgzfReader:
             out += self._block[self._uoffset:self._uoffset + take]
             self._uoffset += take
         return bytes(out)
+
+    def read_all(self) -> bytes:
+        """Decode the whole file from virtual position 0.
+
+        The bulk path: every block is inflated exactly once, in file
+        order (mirrors the native decoder's NativeBgzf.read_all).
+        """
+        self.seek(0)
+        chunks: List[bytes] = [self._block[self._uoffset:]]
+        self._uoffset = len(self._block)
+        while self._advance_block():
+            chunks.append(self._block)
+            self._uoffset = len(self._block)
+        return b"".join(chunks)
 
     def iter_lines(self) -> Iterator[Tuple[int, bytes]]:
         """Iterate (virtual offset of line start, line bytes) from position 0.

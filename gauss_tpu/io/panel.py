@@ -54,16 +54,8 @@ def read_panel_index(
         finally:
             h.close()
     else:
-        chunks: List[bytes] = []
         with BgzfReader(index_file, cache_blocks=0) as r:
-            r.seek(0)
-            while True:
-                if r._uoffset >= len(r._block):
-                    if not r._advance_block():
-                        break
-                chunks.append(r._block[r._uoffset:])
-                r._uoffset = len(r._block)
-        text = b"".join(chunks)
+            text = r.read_all()
     df = pd.read_csv(
         _io.BytesIO(text),
         sep=r"\s+",

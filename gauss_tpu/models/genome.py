@@ -194,7 +194,8 @@ class GenomeEngine:
         return WindowKernelSpec(
             pop_sizes=sizes, pop_sizes_padded=self._padded_sizes(sizes),
             wgts=wgts, lam=self.settings.lambda_,
-            min_abs_eig=self.settings.min_abs_eig, stats=self.stats)
+            min_abs_eig=self.settings.min_abs_eig,
+            eig_cutoff=self.settings.eig_cutoff, stats=self.stats)
 
     def _fused_fn(self, Mp: int, Up: int, sizes, wgts):
         key = (Mp, Up, sizes, wgts)

@@ -120,12 +120,28 @@ class GenomeRunner:
         if os.path.exists(path):
             with open(path) as fh:
                 data = json.load(fh)
+            mismatches = []
+            for name, ours in (("window_bp", self.window_bp),
+                               ("wing_size", self.wing_size),
+                               ("chunk_bp", self.chunk_bp),
+                               ("af1_cutoff", self.af1_cutoff),
+                               ("analysis", self.analysis)):
+                stored = data.get(name)
+                if stored is not None and stored != ours:
+                    mismatches.append(
+                        f"{name}: manifest has {stored!r}, got {ours!r}")
+            if mismatches:
+                raise ValueError(
+                    f"run dir {self.run_dir} was created with different "
+                    "parameters (resuming would mix heterogeneous "
+                    "shards): " + "; ".join(mismatches))
             for c in data.get("chunks", []):
                 cs = ChunkState(**c)
                 self.chunks[cs.key] = cs
 
     def _save_manifest(self) -> None:
         _atomic_write_json(self._manifest_path(), {
+            "analysis": self.analysis,
             "window_bp": self.window_bp,
             "wing_size": self.wing_size,
             "chunk_bp": self.chunk_bp,
@@ -184,14 +200,17 @@ class GenomeRunner:
 
     def run(self, resume: bool = True,
             max_failures: Optional[int] = None) -> Dict[str, int]:
-        """Execute pending (and, when resuming, previously failed)
-        chunks.  Returns {'done': n, 'failed': n, 'skipped': n}."""
+        """Execute chunks.  ``resume=True`` skips completed chunks and
+        retries failed ones; ``resume=False`` (restart) recomputes
+        EVERYTHING, failed chunks included.
+        Returns {'done': n, 'failed': n, 'skipped': n}."""
         stats = {"done": 0, "failed": 0, "skipped": 0}
+        if not resume:
+            for cs in self.chunks.values():
+                cs.status = "pending"
+                cs.error = None
         for cs in list(self.chunks.values()):
             if cs.status == "done" and resume:
-                stats["skipped"] += 1
-                continue
-            if cs.status == "failed" and not resume:
                 stats["skipped"] += 1
                 continue
             t0 = time.time()

@@ -71,6 +71,7 @@ class WindowKernelSpec:
     wgts: Optional[Tuple[float, ...]]  # None -> unweighted (dist)
     lam: float = 0.1
     min_abs_eig: float = 1e-5
+    eig_cutoff: float = 0.01          # CountPC threshold (qcat num_eig)
     solver: str = "cholesky"          # "cholesky" | "eigh" (MakePosDef)
     stats: str = "int8"               # "int8" | "centered" big-term path
 
@@ -577,6 +578,14 @@ def window_qcat(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec):
     Returns (t_m [W, Mp], chi_m [W, Mp], t_u [W, Up], chi_u [W, Up],
     num_eig [W]); garbage where the masks are 0.
     """
+    if spec.lam <= spec.eig_cutoff:
+        # num_eig == M only holds when every eigenvalue of R + lam*I
+        # clears the CountPC cutoff; otherwise fall back to the host
+        # path (models/qcat.py), which runs literal CountPC.
+        raise ValueError(
+            f"device qcat requires lambda ({spec.lam}) > eig_cutoff "
+            f"({spec.eig_cutoff}); use the host qcat path for smaller "
+            "ridge values")
     B11f, B21f = window_corr_blocks(Gm, Gu, m_mask, u_mask, spec)
     n = jnp.sum(m_mask, axis=1)                               # = num_eig
     L = jnp.linalg.cholesky(B11f)

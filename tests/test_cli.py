@@ -64,6 +64,40 @@ def test_cli_fiqt(tmp_path):
     assert "z_fiqt" in df.columns
 
 
+def test_cli_impute_genome_and_status(synpanel, gwas_input, region,
+                                      tmp_path, capsys):
+    import json
+    import os
+    path, _ = gwas_input
+    lo, hi = region
+    wgt_file = tmp_path / "wgt.tsv"
+    pd.DataFrame({"pop": ["AAA", "BBB"], "wgt": [0.5, 0.5]}).to_csv(
+        wgt_file, sep="\t", index=False)
+    run_dir = tmp_path / "run"
+    out = tmp_path / "genome.tsv"
+    base = ["impute-genome", "--chr", "22", "--start-bp", str(lo),
+            "--end-bp", str(hi), "--pop-wgt-file", str(wgt_file),
+            "--input-file", path,
+            "--window-bp", str((hi - lo) // 2 + 1),
+            "--wing-size", str(hi - lo),
+            "--chunk-bp", str(hi - lo + 1),
+            "--run-dir", str(run_dir)] + _ref_argv(synpanel)
+    cli.main(base + ["-o", str(out)])
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) > 0
+
+    # --status must be read-only: manifest untouched, chunk ledger printed
+    mpath = run_dir / "manifest.json"
+    before = mpath.read_text()
+    capsys.readouterr()
+    cli.main(base + ["--status", "-o", str(tmp_path / "ignored.tsv")])
+    cap = capsys.readouterr()
+    counts = json.loads(cap.out.strip().splitlines()[-1])
+    assert counts["done"] >= 1 and counts["failed"] == 0
+    assert mpath.read_text() == before
+    assert not os.path.exists(tmp_path / "ignored.tsv")
+
+
 def test_cli_panel_cache_and_region(synpanel, gwas_input, region, tmp_path):
     path, _ = gwas_input
     lo, hi = region

@@ -103,6 +103,59 @@ def test_failure_recorded_then_resumed(tmp_path, setup, monkeypatch):
     assert r.status()["failed"] == 0
 
 
+def test_restart_retries_failed_chunks(tmp_path, setup, monkeypatch):
+    """resume=False (--restart) recomputes everything INCLUDING chunks
+    previously marked failed (round-1 advisor finding)."""
+    d = tmp_path / "run3b"
+    r = _runner(d, setup)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+
+    real = GenomeRunner._prepared
+    calls = {"n": 0}
+
+    def flaky(self, cs=None):
+        run = real(self, cs)
+        orig = run.impute_region
+
+        def wrapped(start_bp, end_bp, **kw):
+            calls["n"] += 1
+            if calls["n"] == 2 and not calls.get("healed"):
+                calls["healed"] = True
+                raise RuntimeError("injected chunk failure")
+            return orig(start_bp, end_bp, **kw)
+
+        run.impute_region = wrapped
+        return run
+
+    monkeypatch.setattr(GenomeRunner, "_prepared", flaky)
+    assert r.run()["failed"] == 1
+    monkeypatch.setattr(GenomeRunner, "_prepared", real)
+
+    # restart: nothing skipped, failed chunk recomputed
+    stats = r.run(resume=False)
+    assert stats["skipped"] == 0 and stats["failed"] == 0
+    assert r.status()["failed"] == 0 and r.status()["pending"] == 0
+    # every planned bp range present in the collected output
+    df = r.collect()
+    assert all(c.status == "done" for c in r.chunks.values())
+    assert len(df) > 0
+
+
+def test_manifest_param_mismatch_raises(tmp_path, setup):
+    d = tmp_path / "run_mismatch"
+    r = _runner(d, setup)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    r.run()
+    # resuming with different window params or analysis must refuse
+    with pytest.raises(ValueError, match="different"):
+        _runner(d, setup, analysis="qcat")
+    store, inp, pop_wgt = setup[:3]
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    with pytest.raises(ValueError, match="window_bp"):
+        GenomeRunner(str(d), eng, inp, pop_wgt, window_bp=500_000,
+                     wing_size=200_000, chunk_bp=600_000)
+
+
 def test_streaming_matches_resident(tmp_path, setup):
     """Per-chunk panel decode (streaming) == resident-panel run."""
     store, inp, pop_wgt = setup[:3]
