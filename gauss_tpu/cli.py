@@ -42,6 +42,18 @@ def _ref_args(p: argparse.ArgumentParser, window: bool = True,
                    help="output TSV path ('-' = stdout)")
 
 
+def _parse_mesh(s):
+    """'WxS' -> (window x subject) jax mesh, or None."""
+    if not s:
+        return None
+    try:
+        n_win, n_sub = (int(x) for x in s.lower().split("x"))
+    except ValueError:
+        raise SystemExit(f"ERROR: --mesh expects WxS (e.g. 2x4), got '{s}'")
+    from gauss_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_win, n_sub)
+
+
 def _read_pop_wgt(path: str) -> pd.DataFrame:
     try:
         df = pd.read_csv(path, sep=r"\s+")
@@ -134,6 +146,10 @@ def main(argv=None):
     p.add_argument("--panel-cache", default=None,
                    help="use a decoded panel cache dir instead of bgzf")
     p.add_argument("--device-linalg", action="store_true")
+    p.add_argument("--mesh", default=None, metavar="WxS",
+                   help="run sharded over a (window x subject) device "
+                        "mesh, e.g. 2x4 (needs W*S devices); implies "
+                        "--device-linalg")
 
     p = sub.add_parser("qcat-region",
                        help="genome-scale windowed qcatmix over a cached "
@@ -173,6 +189,9 @@ def main(argv=None):
     p.add_argument("--analysis", choices=["impute", "qcat"],
                    default="impute",
                    help="which windowed analysis to run per chunk")
+    p.add_argument("--mesh", default=None, metavar="WxS",
+                   help="run sharded over a (window x subject) device "
+                        "mesh, e.g. 2x4 (needs W*S devices)")
 
     args = ap.parse_args(argv)
 
@@ -263,7 +282,8 @@ def main(argv=None):
                                    start_bp=args.start_bp,
                                    end_bp=args.end_bp,
                                    wing_size=args.wing_size)
-        eng = GenomeEngine(store, device_linalg=args.device_linalg)
+        eng = GenomeEngine(store, device_linalg=args.device_linalg,
+                           mesh=_parse_mesh(args.mesh))
         run = eng.prepare_mix(
             inp, readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),
             af1_cutoff=args.af1_cutoff)
@@ -338,7 +358,8 @@ def main(argv=None):
                                    start_bp=args.start_bp,
                                    end_bp=args.end_bp,
                                    wing_size=args.wing_size)
-        eng = GenomeEngine(store, device_linalg=not args.host_linalg)
+        eng = GenomeEngine(store, device_linalg=not args.host_linalg,
+                           mesh=_parse_mesh(args.mesh))
         runner = GenomeRunner(
             args.run_dir, eng, inp,
             readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),

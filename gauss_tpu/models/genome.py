@@ -106,13 +106,28 @@ class GenomeEngine:
                  snp_bucket: int = 256,
                  device_linalg: bool = False,
                  window_bucket: int = 4,
-                 stats: str = "pallas"):
+                 stats: str = "pallas",
+                 mesh=None):
+        """``mesh``: an optional jax.sharding.Mesh with axes
+        ("window", "subject").  When set, the device path runs sharded:
+        the panel lives subject-sharded across the mesh's ``subject``
+        axis (partial sufficient statistics psum over ICI) and window
+        batches split over the ``window`` axis (pure data parallelism;
+        windows are independent, reference src/dist.cpp:129-141).
+        Implies device_linalg."""
         self.store = store
         self.settings = settings
         self.snp_bucket = snp_bucket
-        self.device_linalg = device_linalg
         self.window_bucket = window_bucket
         self.stats = stats             # "pallas" | "int8" | "centered"
+        self.mesh = mesh
+        if mesh is not None:
+            if set(mesh.axis_names) != {"window", "subject"}:
+                raise ValueError("engine mesh must have axes "
+                                 "('window', 'subject'), got "
+                                 f"{mesh.axis_names}")
+            device_linalg = True
+        self.device_linalg = device_linalg
         self._corr_fns: Dict = {}
         self._fused_fns: Dict = {}
 
@@ -213,6 +228,32 @@ class GenomeEngine:
             self._fused_fns[key] = fn
         return fn
 
+    def _sharded_fn(self, kind: str, sizes, wgts, local_sizes):
+        """Mesh-sharded kernel (subject-sharded panel + window-parallel
+        scan).  ``kind``: "region" | "qcat" | "ld".  ``local_sizes`` are
+        the per-shard population segment widths from
+        subject_shard_layout."""
+        key = ("sharded", kind, sizes, wgts, local_sizes)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            from ..parallel import mesh as pm
+            spec = WindowKernelSpec(
+                pop_sizes=sizes, pop_sizes_padded=local_sizes, wgts=wgts,
+                lam=self.settings.lambda_,
+                min_abs_eig=self.settings.min_abs_eig,
+                eig_cutoff=self.settings.eig_cutoff,
+                # sharded kernels psum raw additive sufficient stats;
+                # "int8" selects the exact shifted-Gram protocol
+                # (_int8_sharded_weighted_stats), falling back to the
+                # centered f32 path for >23k-subject populations
+                stats="int8")
+            build = {"region": pm.build_sharded_region_kernel,
+                     "qcat": pm.build_sharded_qcat_region_kernel,
+                     "ld": pm.build_sharded_ld_kernel}[kind]
+            fn = build(spec, self.mesh)
+            self._fused_fns[key] = fn
+        return fn
+
     def _ld_fn(self, Mp: int, sizes, wgts):
         key = ("ld", Mp, sizes, wgts)
         fn = self._fused_fns.get(key)
@@ -231,19 +272,33 @@ class PreparedRun:
     pop_sizes: Tuple[int, ...]
     wgts: Optional[Tuple[float, ...]]
     _G_dev: Optional[jnp.ndarray] = None
+    _local_sizes: Optional[Tuple[int, ...]] = None
 
     def _device_panel(self) -> jnp.ndarray:
         """Selected-population dosage matrix, uploaded to HBM once and
         reused by every window (the SURVEY section 7 design point).
         Population segments are zero-padded to the Pallas K-tile when
         the fused stats kernel is enabled (padding is exact: zero
-        columns contribute 0 to every statistic)."""
+        columns contribute 0 to every statistic).  With an engine mesh,
+        the subject axis is instead laid out in subject_shard_layout
+        order and placed sharded over the mesh's ``subject`` axis."""
         if self._G_dev is None:
             G = self.engine.store.G
             cols = self.subj_cols
             full = len(cols) == G.shape[1] and bool(
                 np.array_equal(cols, np.arange(G.shape[1])))
             Gh = G if full else G[:, cols]
+            mesh = self.engine.mesh
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import subject_shard_layout
+                n_sub = mesh.shape["subject"]
+                G_l, _, locs = subject_shard_layout(Gh, self.pop_sizes,
+                                                    n_sub)
+                self._local_sizes = locs
+                self._G_dev = jax.device_put(
+                    G_l, NamedSharding(mesh, P(None, "subject")))
+                return self._G_dev
             padded = self.engine._padded_sizes(self.pop_sizes)
             if padded != tuple(self.pop_sizes):
                 from ..ops.pallas_gram import K_TILE
@@ -253,14 +308,33 @@ class PreparedRun:
             self._G_dev = jnp.asarray(Gh)
         return self._G_dev
 
+    def _mesh_fn(self, kind: str):
+        """Sharded kernel for this run's panel layout (the panel upload
+        fixes _local_sizes first)."""
+        panel = self._device_panel()
+        fn = self.engine._sharded_fn(kind, self.pop_sizes, self.wgts,
+                                     self._local_sizes)
+        return panel, fn
+
     def _dispatch_device(self, m_rows, u_rows, M, U, Mp, Up, Z1,
                          m_mask, u_mask):
         """Launch the fused kernel asynchronously; returns lazy device
         arrays (z, info).  Only index vectors + Z cross the host link."""
-        m_idx = np.zeros((1, Mp), dtype=np.int32)
-        u_idx = np.zeros((1, Up), dtype=np.int32)
+        mesh = self.engine.mesh
+        n_win = 1 if mesh is None else mesh.shape["window"]
+        m_idx = np.zeros((n_win, Mp), dtype=np.int32)
+        u_idx = np.zeros((n_win, Up), dtype=np.int32)
         m_idx[0, :M] = self.g_row[m_rows]
         u_idx[0, :U] = self.g_row[u_rows]
+        if mesh is not None:
+            # single window over the mesh: rows 1..n_win-1 are masked
+            # padding windows (legal; outputs dropped)
+            panel, fn = self._mesh_fn("region")
+            pad = lambda a: np.concatenate(
+                [a, np.zeros((n_win - 1,) + a.shape[1:], a.dtype)])
+            z, info = fn(panel, m_idx, u_idx, pad(Z1), pad(m_mask),
+                         pad(u_mask))
+            return z[:1], info[:1]
         fn = self.engine._fused_fn(Mp, Up, self.pop_sizes, self.wgts)
         return fn(self._device_panel(), m_idx, u_idx, Z1, m_mask, u_mask)
 
@@ -370,13 +444,19 @@ class PreparedRun:
         M = len(m_rows)
         if M == 0:
             return None
+        mesh = self.engine.mesh
+        n_win = 1 if mesh is None else mesh.shape["window"]
         Mp = _round_up(M, self.engine.snp_bucket)
-        m_idx = np.zeros((1, Mp), dtype=np.int32)
+        m_idx = np.zeros((n_win, Mp), dtype=np.int32)
         m_idx[0, :M] = self.g_row[m_rows]
-        m_mask = np.zeros((1, Mp), dtype=np.float32)
+        m_mask = np.zeros((n_win, Mp), dtype=np.float32)
         m_mask[0, :M] = 1.0
-        fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts)
-        corr = np.asarray(fn(self._device_panel(), m_idx, m_mask))
+        if mesh is not None:
+            panel, fn = self._mesh_fn("ld")
+        else:
+            panel = self._device_panel()
+            fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts)
+        corr = np.asarray(fn(panel, m_idx, m_mask))
         tt = t.iloc[m_rows]
         snplist = pd.DataFrame({
             "rsid": tt["rsid"].to_numpy(), "chr": tt["chr"].to_numpy(),
@@ -398,6 +478,9 @@ class PreparedRun:
         t = self.table
         bp = t["bp"].to_numpy()
         typ = t["type"].to_numpy()
+        mesh = self.engine.mesh
+        if mesh is not None:
+            return self._ld_region_mesh(start_bp, end_bp, window_bp)
         pending = []
         pos = start_bp
         while pos <= end_bp:
@@ -435,6 +518,50 @@ class PreparedRun:
             })
         return out
 
+    def _ld_region_mesh(self, start_bp: int, end_bp: int,
+                        window_bp: int) -> List[Dict]:
+        """Mesh variant of ld_region: all windows padded to one Mp and
+        computed in a single dispatch split over the window axis."""
+        t = self.table
+        bp = t["bp"].to_numpy()
+        typ = t["type"].to_numpy()
+        windows = []
+        pos = start_bp
+        while pos <= end_bp:
+            hi = min(pos + window_bp - 1, end_bp)
+            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
+            if len(m_rows):
+                windows.append(m_rows)
+            pos = hi + 1
+        if not windows:
+            return []
+        n_win = self.engine.mesh.shape["window"]
+        Mp = _round_up(max(len(r) for r in windows), self.engine.snp_bucket)
+        Wp = _round_up(len(windows), n_win)
+        m_idx = np.zeros((Wp, Mp), dtype=np.int32)
+        m_mask = np.zeros((Wp, Mp), dtype=np.float32)
+        for i, m_rows in enumerate(windows):
+            m_idx[i, :len(m_rows)] = self.g_row[m_rows]
+            m_mask[i, :len(m_rows)] = 1.0
+        panel, fn = self._mesh_fn("ld")
+        corr = np.asarray(fn(panel, m_idx, m_mask))
+        out = []
+        for i, m_rows in enumerate(windows):
+            M = len(m_rows)
+            tt = t.iloc[m_rows]
+            out.append({
+                "snplist": pd.DataFrame({
+                    "rsid": tt["rsid"].to_numpy(),
+                    "chr": tt["chr"].to_numpy(),
+                    "bp": tt["bp"].to_numpy(),
+                    "a1": tt["a1"].to_numpy(),
+                    "a2": tt["a2"].to_numpy(),
+                    "af1mix": tt["af1mix"].to_numpy(),
+                    "z": tt["z"].to_numpy()}),
+                "cormat": corr[i, :M, :M].astype(np.float64),
+            })
+        return out
+
     def qcat_region(self, start_bp: int, end_bp: int,
                     window_bp: int = 1_000_000,
                     wing_size: int = 500_000) -> pd.DataFrame:
@@ -462,7 +589,9 @@ class PreparedRun:
         Mp = max(p[2][4] for p in plans)
         Up = max(p[2][5] for p in plans)
         W = len(plans)
-        Wp = _round_up(W, self.engine.window_bucket)
+        mesh = self.engine.mesh
+        n_win = 1 if mesh is None else mesh.shape["window"]
+        Wp = _round_up(W, self.engine.window_bucket * n_win)
         m_idx = np.zeros((Wp, Mp), dtype=np.int32)
         u_idx = np.zeros((Wp, Up), dtype=np.int32)
         Z1b = np.zeros((Wp, Mp))
@@ -475,14 +604,18 @@ class PreparedRun:
             Z1b[i, :M] = zcol[m_rows]
             m_maskb[i, :M] = 1.0
             u_maskb[i, :U] = 1.0
-        key = ("qcat_region", self.pop_sizes, self.wgts)
-        fn = self.engine._fused_fns.get(key)
-        if fn is None:
-            fn = build_qcat_region_kernel(
-                self.engine._spec(self.pop_sizes, self.wgts))
-            self.engine._fused_fns[key] = fn
+        if mesh is not None:
+            panel, fn = self._mesh_fn("qcat")
+        else:
+            panel = self._device_panel()
+            key = ("qcat_region", self.pop_sizes, self.wgts)
+            fn = self.engine._fused_fns.get(key)
+            if fn is None:
+                fn = build_qcat_region_kernel(
+                    self.engine._spec(self.pop_sizes, self.wgts))
+                self.engine._fused_fns[key] = fn
         t_m, chi_m, t_u, chi_u, n_eig = (
-            np.asarray(a) for a in fn(self._device_panel(), m_idx, u_idx,
+            np.asarray(a) for a in fn(panel, m_idx, u_idx,
                                       Z1b, m_maskb, u_maskb))
 
         qm = np.zeros(len(t), dtype=np.int64)
@@ -553,7 +686,11 @@ class PreparedRun:
                 Mp = max(p[2][4] for p in plans)
                 Up = max(p[2][5] for p in plans)
                 W = len(plans)
-                Wp = _round_up(W, self.engine.window_bucket)
+                mesh = self.engine.mesh
+                n_win = 1 if mesh is None else mesh.shape["window"]
+                # W must split evenly over the window axis AND each
+                # shard's slice must divide by the scan batch width
+                Wp = _round_up(W, self.engine.window_bucket * n_win)
                 t = self.table
                 zcol = t["z"].to_numpy()
                 m_idx = np.zeros((Wp, Mp), dtype=np.int32)
@@ -568,9 +705,12 @@ class PreparedRun:
                     Z1b[i, :M] = zcol[m_rows]
                     m_maskb[i, :M] = 1.0
                     u_maskb[i, :U] = 1.0
-                fn = self.engine._region_fn(self.pop_sizes, self.wgts)
-                z, info = fn(self._device_panel(), m_idx, u_idx, Z1b,
-                             m_maskb, u_maskb)
+                if mesh is not None:
+                    panel, fn = self._mesh_fn("region")
+                else:
+                    panel = self._device_panel()
+                    fn = self.engine._region_fn(self.pop_sizes, self.wgts)
+                z, info = fn(panel, m_idx, u_idx, Z1b, m_maskb, u_maskb)
                 for a in (z, info):
                     try:
                         a.copy_to_host_async()

@@ -292,6 +292,110 @@ def _pallas_weighted_stats(Gm, Gu, spec: WindowKernelSpec):
         S_u.astype(jnp.float32)
 
 
+def _int8_sharded_weighted_stats(Gm, Gu, spec: WindowKernelSpec,
+                                 axis_name: str, subject_valid):
+    """Subject-sharded variant of the int8-exact weighted stats
+    (distmix CalWgtCov big term, src/util.cpp:103-124).
+
+    The per-pop combination d_k = m_k*C_k - S_k S_k^T is NOT additive
+    across subject shards, but the raw sufficient statistics (Gram C_k,
+    sums S_k, Q_k) are.  Protocol:
+
+      1. psum the exact int32 per-pop row sums -> global S; integer
+         shifts c = round(mean) are then identical on every shard;
+      2. each shard forms locally-shifted int8 dosages (values in
+         [-2, 2]) and its exact int32 per-pop Grams; the f32
+         beta_k-weighted local combination T1^(s) is additive -> ONE
+         [*, M] f32 psum (vs P exact int32 Gram psums, which would be
+         P times the ICI traffic);
+      3. the rank-P correction T2 comes from the global shifted sums,
+         computed identically on every shard.
+
+    Shifting puts T1/T2 at RESULT scale (see _pallas_weighted_stats),
+    so the f32 psum rounds at ~1e-7 relative of the result -- the
+    sharded path matches the single-device int8 path to f32 noise
+    instead of the centered path's ~1e-5.
+
+    ``Gu`` may be None (symmetric LD case).  Returns the same tuple
+    contract as _int8_weighted_stats (with None entries when Gu is
+    None).
+    """
+    bounds = spec.bounds                      # LOCAL segment bounds
+    P = len(spec.pop_sizes)
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = jnp.asarray((w * m / (m - 1.0)).astype(np.float32))
+    beta = jnp.asarray((w * m * m / (m - 1.0)).astype(np.float32))
+    m_i32 = jnp.asarray(m.astype(np.int32))
+    W, Mp, S = Gm.shape
+    psum = lambda x: jax.lax.psum(x, axis_name)
+
+    pop_idx = np.zeros(S, dtype=np.int32)
+    for k in range(P):
+        pop_idx[int(bounds[k]):int(bounds[k + 1])] = k
+    pop_idx_d = jnp.asarray(pop_idx)
+    valid_i = subject_valid.astype(jnp.int32)
+    oh = (jax.nn.one_hot(pop_idx_d, P, dtype=jnp.int32)
+          * valid_i[:, None])                                 # [S, P]
+
+    def pop_sums_i32(G):
+        return psum(jnp.einsum("wns,sp->wnp", G.astype(jnp.int32), oh))
+
+    S_m = pop_sums_i32(Gm)                                    # exact int32
+    mf = jnp.asarray(m.astype(np.float32))
+    c_m = jnp.clip(jnp.round(S_m.astype(jnp.float32) / mf), 0, 2
+                   ).astype(jnp.int32)
+    Sp_m = S_m - m_i32 * c_m
+
+    def shift(G, c):
+        cs = jnp.take(c.astype(jnp.int8), pop_idx_d, axis=2)
+        return (G - cs) * subject_valid.astype(jnp.int8)[None, None, :]
+
+    Gm_c = shift(Gm, c_m)
+    dn = (((2,), (2,)), ((0,), (0,)))   # contract subjects, batch windows
+    big_mm = jnp.zeros((W, Mp, Mp), jnp.float32)
+    for k in range(P):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        a = Gm_c[:, :, lo:hi]
+        Cmm = jax.lax.dot_general(a, a, dn,
+                                  preferred_element_type=jnp.int32)
+        big_mm = big_mm + beta[k] * Cmm.astype(jnp.float32)
+    sxm = Sp_m.astype(jnp.float32)
+    t2_mm = jnp.einsum("wmp,p,wnp->wmn", sxm, alpha, sxm,
+                       precision=_HI, preferred_element_type=jnp.float32)
+    big_mm = psum(big_mm) - t2_mm
+
+    if Gu is None:
+        return big_mm, None, None, S_m.astype(jnp.float32), None
+
+    Up = Gu.shape[1]
+    S_u = pop_sums_i32(Gu)
+    Q_u = pop_sums_i32(Gu * Gu)
+    c_u = jnp.clip(jnp.round(S_u.astype(jnp.float32) / mf), 0, 2
+                   ).astype(jnp.int32)
+    Sp_u = S_u - m_i32 * c_u
+    Gu_c = shift(Gu, c_u)
+    big_um = jnp.zeros((W, Up, Mp), jnp.float32)
+    for k in range(P):
+        lo, hi = int(bounds[k]), int(bounds[k + 1])
+        a = Gm_c[:, :, lo:hi]
+        b = Gu_c[:, :, lo:hi]
+        Cum = jax.lax.dot_general(b, a, dn,
+                                  preferred_element_type=jnp.int32)
+        big_um = big_um + beta[k] * Cum.astype(jnp.float32)
+    sxu = Sp_u.astype(jnp.float32)
+    t2_um = jnp.einsum("wup,p,wmp->wum", sxu, alpha, sxm,
+                       precision=_HI, preferred_element_type=jnp.float32)
+    big_um = psum(big_um) - t2_um
+
+    # d_uu from GLOBAL exact int32 stats: identical to the 1-dev value
+    d_uu = m_i32 * Q_u - S_u * S_u
+    vu_big = d_uu.astype(jnp.float32) @ jnp.asarray(
+        (w * m / (m - 1.0)).astype(np.float32))
+    return big_mm, big_um, vu_big, S_m.astype(jnp.float32), \
+        S_u.astype(jnp.float32)
+
+
 def _weighted_mm_stats(Gm, spec: WindowKernelSpec):
     """Symmetric-only variant of the weighted stats: returns
     (big_mm [W, Mp, Mp] f32, S_m [W, Mp, P] f32).  Uses the Pallas
@@ -355,11 +459,15 @@ def _weighted_mm_stats(Gm, spec: WindowKernelSpec):
     return big_mm, jnp.stack(Sm_l, axis=2).astype(jnp.float32)
 
 
-def window_corr(Gm, m_mask, spec: WindowKernelSpec):
+def window_corr(Gm, m_mask, spec: WindowKernelSpec,
+                axis_name: Optional[str] = None,
+                subject_valid: Optional[jnp.ndarray] = None):
     """Batched weighted correlation matrix of a window's measured SNPs
     (computeLD semantics: src/computeLD.cpp:104-116 -- diag forced to
     1.0, NO ridge).  Gm: [W, Mp, S] int8, m_mask: [W, Mp].
     Returns corr [W, Mp, Mp] f32 with identity rows on masked SNPs.
+    With ``axis_name`` the subject axis is sharded: psum-able centered
+    sufficient statistics replace the int8/Pallas Gram paths.
     """
     if spec.wgts is None:
         raise ValueError("window_corr implements the weighted "
@@ -368,7 +476,28 @@ def window_corr(Gm, m_mask, spec: WindowKernelSpec):
     m = np.asarray(spec.pop_sizes, dtype=np.float64)
     W, Mp, S = Gm.shape
 
-    big_mm, S_m = _weighted_mm_stats(Gm, spec)
+    if axis_name is None:
+        big_mm, S_m = _weighted_mm_stats(Gm, spec)
+    elif spec.stats in ("int8", "pallas") and max(spec.pop_sizes) <= 23000:
+        pop_idx, valid_np, _ = subject_static_arrays(spec)
+        valid = (jnp.asarray(valid_np) if subject_valid is None
+                 else subject_valid)
+        big_mm, _, _, S_m, _ = _int8_sharded_weighted_stats(
+            Gm, None, spec, axis_name, valid)
+    else:
+        pop_idx, valid_np, _ = subject_static_arrays(spec)
+        valid = (jnp.asarray(valid_np) if subject_valid is None
+                 else subject_valid)
+        coef = _center_coef(spec, pop_idx, valid)
+        onehot = jax.nn.one_hot(jnp.asarray(pop_idx), len(spec.pop_sizes),
+                                dtype=jnp.float32) * valid[:, None]
+        psum = lambda x: jax.lax.psum(x, axis_name)
+        Gm_f = Gm.astype(jnp.float32)
+        S_m = psum(_pop_sums(Gm_f, onehot))
+        mu = S_m / jnp.asarray(m, dtype=jnp.float32)
+        Hm = _centered(Gm_f, mu, pop_idx, coef)
+        big_mm = psum(jnp.einsum("wms,wns->wmn", Hm, Hm, precision=_HI,
+                                 preferred_element_type=jnp.float32))
     mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
 
     w = jnp.asarray(np.asarray(spec.wgts, dtype=np.float64),
@@ -441,10 +570,19 @@ def window_corr_blocks(Gm, Gu, m_mask, u_mask, spec: WindowKernelSpec,
     pallas_ok = (spec.stats == "pallas" and axis_name is None
                  and _pallas_ok(spec, Gm.shape[1], Gu.shape[1]))
 
+    sharded_int8_ok = (spec.wgts is not None and axis_name is not None
+                       and spec.stats in ("int8", "pallas")
+                       and max(spec.pop_sizes) <= 23000)
+
     if spec.wgts is not None:
         m = np.asarray(spec.pop_sizes, dtype=np.float64)
         w = jnp.asarray(np.asarray(spec.wgts, dtype=np.float64), dtype=dt)
-        if pallas_ok:
+        if sharded_int8_ok:
+            big_mm, big_um, vu_big, S_m, S_u = _int8_sharded_weighted_stats(
+                Gm, Gu, spec, axis_name, valid)
+            mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
+            mu_u = S_u / jnp.asarray(m, dtype=jnp.float32)
+        elif pallas_ok:
             big_mm, big_um, vu_big, S_m, S_u = _pallas_weighted_stats(
                 Gm, Gu, spec)
             mu_m = S_m / jnp.asarray(m, dtype=jnp.float32)
@@ -566,7 +704,9 @@ def _masked_column_corr(Zt, X, mask, n):
     return cov / jnp.sqrt(jnp.maximum(vz * vx, 1e-30))
 
 
-def window_qcat(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec):
+def window_qcat(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
+                axis_name: Optional[str] = None,
+                subject_valid: Optional[jnp.ndarray] = None):
     """Batched QCAT tests (reference: run_qcat src/qcat.cpp:134-262,
     run_qcatmix src/qcatmix.cpp:145-286).
 
@@ -586,7 +726,9 @@ def window_qcat(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec):
             f"device qcat requires lambda ({spec.lam}) > eig_cutoff "
             f"({spec.eig_cutoff}); use the host qcat path for smaller "
             "ridge values")
-    B11f, B21f = window_corr_blocks(Gm, Gu, m_mask, u_mask, spec)
+    B11f, B21f = window_corr_blocks(Gm, Gu, m_mask, u_mask, spec,
+                                    axis_name=axis_name,
+                                    subject_valid=subject_valid)
     n = jnp.sum(m_mask, axis=1)                               # = num_eig
     L = jnp.linalg.cholesky(B11f)
     # decorrelate: Zt = L^-1 Z1; Xm = L^-1 B11 (cols = measured SNPs);

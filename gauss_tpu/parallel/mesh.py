@@ -24,7 +24,8 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import stats
-from ..ops.window_kernel import WindowKernelSpec, pad_pop_segments, window_impute
+from ..ops.window_kernel import (WindowKernelSpec, pad_pop_segments,
+                                 window_corr, window_impute, window_qcat)
 
 
 def make_mesh(n_window: int, n_subject: int,
@@ -66,6 +67,131 @@ def subject_valid_layout(pop_sizes: Sequence[int],
     return v[0]
 
 
+def build_sharded_region_kernel(spec: WindowKernelSpec, mesh: Mesh):
+    """Sharded analog of ops.window_kernel.build_region_kernel: one
+    dispatch imputes a whole batch of windows over a (window x subject)
+    device mesh.
+
+    Contract: ``spec.pop_sizes`` are the TRUE subject counts,
+    ``spec.pop_sizes_padded`` the per-shard (LOCAL) segment widths from
+    ``subject_shard_layout``; the panel's subject axis must already be
+    in subject_shard_layout order, and W must divide by the window-axis
+    size.  Windows are data-parallel (each device scans its W/n_win
+    windows, reference independence proof src/dist.cpp:129-141);
+    partial sufficient statistics combine with one psum over ICI.
+    Fully-masked padding windows are legal (B11 -> (1+lam)*I).
+
+    Returns (G_layout [R, S_layout] i8, m_idx [W, Mp] i32, u_idx
+    [W, Up] i32, Z1, m_mask, u_mask) -> (z [W, Up], info [W, Up]).
+    """
+    n_sub = mesh.shape["subject"]
+    valid = jnp.asarray(subject_valid_layout(spec.pop_sizes, n_sub))
+    impute = partial(window_impute, spec=spec, axis_name="subject")
+
+    def fn(G, mi, ui, z1, mm, um, sv):
+        W = mi.shape[0]
+        B = next(b for b in (4, 2, 1) if W % b == 0)
+
+        def body(_, xs):
+            mi1, ui1, z11, mm1, um1 = xs
+            Gm = jnp.take(G, mi1, axis=0)
+            Gu = jnp.take(G, ui1, axis=0)
+            return None, impute(Gm, Gu, z11, mm1, um1, subject_valid=sv)
+
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
+                   for a in (mi, ui, z1, mm, um))
+        _, (z, info) = jax.lax.scan(body, None, xs)
+        return (z.reshape((W,) + z.shape[2:]),
+                info.reshape((W,) + info.shape[2:]))
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "subject"),
+                  P("window", None), P("window", None), P("window", None),
+                  P("window", None), P("window", None), P("subject")),
+        out_specs=(P("window", None), P("window", None)),
+    )
+    jfn = jax.jit(sharded)
+
+    def wrapper(G_layout, m_idx, u_idx, Z1, m_mask, u_mask):
+        return jfn(jnp.asarray(G_layout), jnp.asarray(m_idx),
+                   jnp.asarray(u_idx), jnp.asarray(Z1),
+                   jnp.asarray(m_mask), jnp.asarray(u_mask), valid)
+
+    return wrapper
+
+
+def build_sharded_qcat_region_kernel(spec: WindowKernelSpec, mesh: Mesh):
+    """Sharded analog of build_qcat_region_kernel (same panel-layout
+    contract as build_sharded_region_kernel).  Returns (G_layout, m_idx
+    [W, Mp], u_idx [W, Up], Z1, m_mask, u_mask) -> (t_m, chi_m, t_u,
+    chi_u, num_eig)."""
+    n_sub = mesh.shape["subject"]
+    valid = jnp.asarray(subject_valid_layout(spec.pop_sizes, n_sub))
+    qcat = partial(window_qcat, spec=spec, axis_name="subject")
+
+    def fn(G, mi, ui, z1, mm, um, sv):
+        W = mi.shape[0]
+        B = next(b for b in (4, 2, 1) if W % b == 0)
+
+        def body(_, xs):
+            mi1, ui1, z11, mm1, um1 = xs
+            Gm = jnp.take(G, mi1, axis=0)
+            Gu = jnp.take(G, ui1, axis=0)
+            return None, qcat(Gm, Gu, z11, mm1, um1, subject_valid=sv)
+
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
+                   for a in (mi, ui, z1, mm, um))
+        _, outs = jax.lax.scan(body, None, xs)
+        return tuple(o.reshape((W,) + o.shape[2:]) for o in outs)
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "subject"),
+                  P("window", None), P("window", None), P("window", None),
+                  P("window", None), P("window", None), P("subject")),
+        out_specs=(P("window", None),) * 4 + (P("window"),),
+    )
+    jfn = jax.jit(sharded)
+
+    def wrapper(G_layout, m_idx, u_idx, Z1, m_mask, u_mask):
+        return jfn(jnp.asarray(G_layout), jnp.asarray(m_idx),
+                   jnp.asarray(u_idx), jnp.asarray(Z1),
+                   jnp.asarray(m_mask), jnp.asarray(u_mask), valid)
+
+    return wrapper
+
+
+def build_sharded_ld_kernel(spec: WindowKernelSpec, mesh: Mesh):
+    """Sharded analog of build_gather_ld_kernel over a batch of windows
+    (same panel-layout contract).  Returns (G_layout, m_idx [W, Mp],
+    m_mask [W, Mp]) -> corr [W, Mp, Mp]."""
+    n_sub = mesh.shape["subject"]
+    valid = jnp.asarray(subject_valid_layout(spec.pop_sizes, n_sub))
+
+    def fn(G, mi, mm, sv):
+        Gm = jnp.take(G, mi, axis=0)
+        return window_corr(Gm, mm, spec, axis_name="subject",
+                           subject_valid=sv)
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P(None, "subject"), P("window", None),
+                  P("window", None), P("subject")),
+        out_specs=P("window", None, None),
+    )
+    jfn = jax.jit(sharded)
+
+    def wrapper(G_layout, m_idx, m_mask):
+        return jfn(jnp.asarray(G_layout), jnp.asarray(m_idx),
+                   jnp.asarray(m_mask), valid)
+
+    return wrapper
+
+
 def sharded_region_impute(
     mesh: Mesh,
     G_layout: np.ndarray,      # [R, S_layout] int8 panel (subject-shard layout)
@@ -80,48 +206,15 @@ def sharded_region_impute(
     lam: float = 0.1,
     min_abs_eig: float = 1e-5,
 ):
-    """Whole-region imputation over a (window x subject) device mesh.
-
-    Windows are data-parallel over the ``window`` axis (each device
-    scans its W/n_win windows on-device, one dispatch total); the panel
-    shards by subject over the ``subject`` axis with partial sufficient
-    statistics psum'd over ICI.  W must divide by the window-axis size
-    and G_layout's subject axis must be in subject_shard_layout order.
-    """
+    """One-shot convenience wrapper over build_sharded_region_kernel."""
     spec = WindowKernelSpec(
         pop_sizes=tuple(int(x) for x in true_pop_sizes),
         pop_sizes_padded=tuple(int(x) for x in local_pop_sizes),
         wgts=tuple(float(x) for x in wgts) if wgts is not None else None,
         lam=lam, min_abs_eig=min_abs_eig,
     )
-    n_sub = mesh.shape["subject"]
-    valid = subject_valid_layout(true_pop_sizes, n_sub)
-
-    def fn(G, mi, ui, z1, mm, um, sv):
-        def body(_, xs):
-            mi1, ui1, z11, mm1, um1 = xs
-            Gm = jnp.take(G, mi1[None], axis=0)
-            Gu = jnp.take(G, ui1[None], axis=0)
-            z, info = window_impute(Gm, Gu, z11[None], mm1[None], um1[None],
-                                    spec=spec, axis_name="subject",
-                                    subject_valid=sv)
-            return None, (z[0], info[0])
-
-        _, (z, info) = jax.lax.scan(body, None, (mi, ui, z1, mm, um))
-        return z, info
-
-    sharded = jax.shard_map(
-        fn,
-        mesh=mesh,
-        in_specs=(P(None, "subject"),
-                  P("window", None), P("window", None), P("window", None),
-                  P("window", None), P("window", None), P("subject")),
-        out_specs=(P("window", None), P("window", None)),
-    )
-    jfn = jax.jit(sharded)
-    return jfn(jnp.asarray(G_layout), jnp.asarray(m_idx),
-               jnp.asarray(u_idx), jnp.asarray(Z1), jnp.asarray(m_mask),
-               jnp.asarray(u_mask), jnp.asarray(valid))
+    fn = build_sharded_region_kernel(spec, mesh)
+    return fn(G_layout, m_idx, u_idx, Z1, m_mask, u_mask)
 
 
 def sharded_window_impute(

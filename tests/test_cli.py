@@ -98,6 +98,33 @@ def test_cli_impute_genome_and_status(synpanel, gwas_input, region,
     assert not os.path.exists(tmp_path / "ignored.tsv")
 
 
+def test_cli_impute_region_mesh(synpanel, gwas_input, region, tmp_path):
+    """--mesh 2x4 output == unsharded --device-linalg output."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    import numpy as np
+    path, _ = gwas_input
+    lo, hi = region
+    wgt_file = tmp_path / "wgt.tsv"
+    pops = synpanel.desc.pops
+    pd.DataFrame({"pop": pops, "wgt": [1.0 / len(pops)] * len(pops)}).to_csv(
+        wgt_file, sep="\t", index=False)
+    base = ["impute-region", "--chr", "22", "--start-bp", str(lo),
+            "--end-bp", str(hi), "--pop-wgt-file", str(wgt_file),
+            "--input-file", path, "--window-bp", str((hi - lo) // 3 + 1),
+            "--wing-size", str((hi - lo) // 3)] + _ref_argv(synpanel)
+    out_m = tmp_path / "mesh.tsv"
+    out_1 = tmp_path / "one.tsv"
+    cli.main(base + ["--mesh", "2x4", "-o", str(out_m)])
+    cli.main(base + ["--device-linalg", "-o", str(out_1)])
+    df_m = pd.read_csv(out_m, sep="\t")
+    df_1 = pd.read_csv(out_1, sep="\t")
+    assert len(df_m) == len(df_1) > 0
+    np.testing.assert_allclose(df_m["z"].to_numpy(), df_1["z"].to_numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_cli_panel_cache_and_region(synpanel, gwas_input, region, tmp_path):
     path, _ = gwas_input
     lo, hi = region

@@ -119,6 +119,71 @@ def test_graft_entry_dryrun():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_engine_mesh_impute_matches_single_device(synpanel, gwas_input):
+    """PRODUCTION mesh path: GenomeEngine.impute_region over a (2 x 4)
+    mesh == the 1-device engine at real bucketed shapes (Mp=256)."""
+    from gauss_tpu.io import readers
+    from gauss_tpu.models.genome import GenomeEngine, PanelStore
+
+    path, _ = gwas_input
+    lo, hi = 1_000_000, 1_299_000
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=0)
+    store = PanelStore.from_bgzf(synpanel.files, chrom=22)
+    pop_wgt = {p: 1.0 / len(synpanel.desc.pops) for p in synpanel.desc.pops}
+    kw = dict(window_bp=75_000, wing_size=40_000)
+
+    mesh = make_mesh(2, 4)
+    df_m = (GenomeEngine(store, mesh=mesh).prepare_mix(inp, pop_wgt)
+            .impute_region(lo, hi, **kw))
+    df_1 = (GenomeEngine(store, device_linalg=True, stats="int8")
+            .prepare_mix(inp, pop_wgt).impute_region(lo, hi, **kw))
+    assert len(df_m) == len(df_1) > 0
+    np.testing.assert_allclose(df_m["z"].to_numpy(), df_1["z"].to_numpy(),
+                               rtol=1e-5, atol=5e-6)
+    np.testing.assert_allclose(df_m["info"].to_numpy(),
+                               df_1["info"].to_numpy(),
+                               rtol=1e-5, atol=5e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_engine_mesh_qcat_and_ld_match_single_device(synpanel, gwas_input):
+    from gauss_tpu.io import readers
+    from gauss_tpu.models.genome import GenomeEngine, PanelStore
+
+    path, _ = gwas_input
+    lo, hi = 1_000_000, 1_299_000
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=0)
+    store = PanelStore.from_bgzf(synpanel.files, chrom=22)
+    pop_wgt = {p: 1.0 / len(synpanel.desc.pops) for p in synpanel.desc.pops}
+
+    mesh = make_mesh(2, 4)
+    run_m = GenomeEngine(store, snp_bucket=64, mesh=mesh).prepare_mix(
+        inp, pop_wgt, af1_cutoff=0.05)
+    run_1 = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                         stats="int8").prepare_mix(inp, pop_wgt,
+                                                   af1_cutoff=0.05)
+
+    q_m = run_m.qcat_region(lo, hi, window_bp=75_000, wing_size=40_000)
+    q_1 = run_1.qcat_region(lo, hi, window_bp=75_000, wing_size=40_000)
+    assert len(q_m) == len(q_1) > 0
+    np.testing.assert_allclose(q_m["qcat_t"].to_numpy(),
+                               q_1["qcat_t"].to_numpy(),
+                               rtol=1e-4, atol=1e-5)
+    assert (q_m["qcat_m"].to_numpy() == q_1["qcat_m"].to_numpy()).all()
+
+    ld_m = run_m.ld_region(lo, hi, window_bp=100_000)
+    ld_1 = run_1.ld_region(lo, hi, window_bp=100_000)
+    assert len(ld_m) == len(ld_1) > 0
+    for a, b in zip(ld_m, ld_1):
+        assert (a["snplist"]["rsid"].to_numpy()
+                == b["snplist"]["rsid"].to_numpy()).all()
+        np.testing.assert_allclose(a["cormat"], b["cormat"],
+                                   rtol=1e-5, atol=2e-6)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
 def test_sharded_region_matches_single_device():
     """Whole-region scan over a (window x subject) mesh == 1-device scan."""
     from gauss_tpu.ops.window_kernel import build_region_kernel

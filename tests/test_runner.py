@@ -156,6 +156,31 @@ def test_manifest_param_mismatch_raises(tmp_path, setup):
                      wing_size=200_000, chunk_bp=600_000)
 
 
+def test_runner_on_mesh_matches_single_device(tmp_path, setup):
+    """Checkpointed genome run over a (2 x 4) device mesh == 1-device."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gauss_tpu.parallel.mesh import make_mesh
+
+    store, inp, pop_wgt = setup[:3]
+    eng_m = GenomeEngine(store, snp_bucket=64, mesh=make_mesh(2, 4))
+    r_m = GenomeRunner(str(tmp_path / "mesh"), eng_m, inp, pop_wgt,
+                       window_bp=600_000, wing_size=200_000,
+                       chunk_bp=600_000)
+    r_m.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    assert r_m.run()["failed"] == 0
+    df_m = r_m.collect()
+
+    r_1 = _runner(tmp_path / "one", setup)
+    r_1.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    r_1.run()
+    df_1 = r_1.collect()
+    assert len(df_m) == len(df_1) > 0
+    np.testing.assert_allclose(df_m["z"].to_numpy(), df_1["z"].to_numpy(),
+                               rtol=2e-5, atol=2e-5)
+
+
 def test_streaming_matches_resident(tmp_path, setup):
     """Per-chunk panel decode (streaming) == resident-panel run."""
     store, inp, pop_wgt = setup[:3]
