@@ -68,6 +68,20 @@ def _batched_weighted_corr(Gb, pop_sizes, wgts):
     return cov / (std[:, :, None] * std[:, None, :])
 
 
+@partial(jax.jit, static_argnames=("pop_sizes",))
+def _gather_pooled_corr(G_dev, idx, pop_sizes):
+    """Gather gene rows from the HBM-resident panel, then pooled corr.
+    Padded idx entries gather row 0; their correlations are sliced off
+    by the caller (pairwise statistics of real rows are unaffected)."""
+    return _batched_pooled_corr(jnp.take(G_dev, idx, axis=0), pop_sizes)
+
+
+@partial(jax.jit, static_argnames=("pop_sizes", "wgts"))
+def _gather_weighted_corr(G_dev, idx, pop_sizes, wgts):
+    return _batched_weighted_corr(jnp.take(G_dev, idx, axis=0),
+                                  pop_sizes, wgts)
+
+
 def _bucket(n: int, minimum: int = 8) -> int:
     b = minimum
     while b < n:
@@ -112,5 +126,53 @@ def gene_corr_matrices(
                                                   sizes_key, wgts_key))
         for bi, gi in enumerate(batch_idx):
             n = gene_G[gi].shape[0]
+            out[gi] = R[bi, :n, :n]
+    return out
+
+
+def gene_corr_resident(
+    G_dev,
+    gene_idx: List[np.ndarray],
+    pop_sizes: Sequence[int],
+    wgts: Optional[Sequence[float]] = None,
+    max_batch_elems: int = 1 << 26,
+) -> List[np.ndarray]:
+    """Correlation matrix per gene, gathered on-device from the
+    HBM-resident panel (the decode-once design of SURVEY.md section 7;
+    replaces the reference's per-call panel reload,
+    src/jepegmix.cpp:65-91).
+
+    G_dev: [R, S] int8 device array (selected-population subject
+    columns).  gene_idx: one int row-id vector per gene.  Genes are
+    padded into power-of-two buckets and each bucket runs as ONE
+    dispatch: gather + batched MXU Gram + f64 combine.  Returns float64
+    [n_g, n_g] matrices in input order.
+    """
+    sizes_key = tuple(int(x) for x in pop_sizes)
+    wgts_key = tuple(float(x) for x in wgts) if wgts is not None else None
+    S = int(G_dev.shape[1])
+    order = np.argsort([len(g) for g in gene_idx], kind="stable")
+    out: List[Optional[np.ndarray]] = [None] * len(gene_idx)
+
+    i = 0
+    while i < len(order):
+        npad = _bucket(len(gene_idx[order[i]]))
+        batch = []
+        while (i < len(order)
+               and _bucket(len(gene_idx[order[i]])) == npad
+               and (len(batch) + 1) * npad * S <= max_batch_elems):
+            batch.append(order[i])
+            i += 1
+        idx = np.zeros((len(batch), npad), dtype=np.int32)
+        for bi, gi in enumerate(batch):
+            idx[bi, :len(gene_idx[gi])] = gene_idx[gi]
+        if wgts_key is None:
+            R = np.asarray(_gather_pooled_corr(G_dev, jnp.asarray(idx),
+                                               sizes_key))
+        else:
+            R = np.asarray(_gather_weighted_corr(G_dev, jnp.asarray(idx),
+                                                 sizes_key, wgts_key))
+        for bi, gi in enumerate(batch):
+            n = len(gene_idx[gi])
             out[gi] = R[bi, :n, :n]
     return out

@@ -188,6 +188,87 @@ class GenomeEngine:
         g_row = g_row[keep]
         return PreparedRun(self, table, g_row, cols, sizes, None)
 
+    def prepare_genes(self, input_df: pd.DataFrame, annot_df: pd.DataFrame,
+                      study_pop: Optional[str] = None,
+                      pop_wgt: Optional[Dict[str, float]] = None,
+                      af1_cutoff: float = 0.01) -> "PreparedGenes":
+        """Join input + annotation against the resident panel once, for
+        genome-scale jepeg/jepegmix (reference per-call pipeline:
+        src/jepegmix.cpp:65-91, re-run for EVERY invocation there --
+        here the panel is decoded once and gene correlation blocks are
+        gathered from HBM).  Exactly one of study_pop (jepeg) /
+        pop_wgt (jepegmix) must be given."""
+        if (study_pop is None) == (pop_wgt is None):
+            raise ValueError("exactly one of study_pop / pop_wgt required")
+        if pop_wgt is not None:
+            flags, wgts = readers.init_pop_flag_wgts(self.store.desc, pop_wgt)
+            wgts = tuple(float(x) for x in wgts)
+        else:
+            flags = readers.init_pop_flags(self.store.desc, study_pop)
+            wgts = None
+        sel, cols, sizes = self._select(flags)
+
+        table = variants.join_reference_index(
+            input_df, self.store.index, add_unmeasured=False,
+            flip_af1study=True)
+        table, categs = variants.join_annotation(table, annot_df)
+
+        fmap = pd.Series(np.arange(len(self.store.index)),
+                         index=self.store.index["fpos"].to_numpy())
+        g_row = np.full(len(table), -1, dtype=np.int64)
+        has = table["fpos"].to_numpy() >= 0
+        g_row[has] = fmap.reindex(table["fpos"].to_numpy()[has]).to_numpy()
+
+        # MakeSnpVec[Mix] AF filter (src/gauss.cpp:543-693)
+        n = len(table)
+        af = np.full(n, np.nan)
+        if wgts is None:
+            counts = self.store.G[np.ix_(g_row[has], cols)].astype(
+                np.int64).sum(axis=1)
+            af[has] = np.ceil(counts / (2.0 * float(sum(sizes))) * 1e5) / 1e5
+            table = table.assign(af1ref=af)
+        else:
+            af[has] = self.store.af[g_row[has]][:, sel] @ np.asarray(wgts)
+            table = table.assign(af1mix=af)
+        keep = np.ones(n, dtype=bool)
+        keep[has] = (af[has] > af1_cutoff) & (af[has] < 1 - af1_cutoff)
+
+        # gene SNPs: measured + annotated (src/jepeg.cpp:73-79)
+        typ = table["type"].to_numpy()
+        gid = table["geneid"].to_numpy()
+        gene_rows = np.flatnonzero(keep & (typ == 1) & (gid != "."))
+
+        cw = np.zeros((n, 6))
+        cp = np.zeros((n, 6), dtype=bool)
+        if len(categs):
+            r = categs["row"].to_numpy(dtype=np.int64)
+            c = categs["categ"].to_numpy(dtype=np.int64)
+            cw[r, c] = categs["wgt"].to_numpy()
+            cp[r, c] = True
+
+        # stable sort by geneid + contiguous runs (src/jepeg.cpp:87)
+        sub = table.iloc[gene_rows]
+        order = np.argsort(sub["geneid"].to_numpy(), kind="stable")
+        gene_rows = gene_rows[order]
+        sub = table.iloc[gene_rows]
+        gids = sub["geneid"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate([[True], gids[1:] != gids[:-1]])
+        ) if len(gids) else np.zeros(0, dtype=np.int64)
+        ends = (np.concatenate([starts[1:], [len(gids)]])
+                if len(gids) else np.zeros(0, dtype=np.int64))
+        bps = sub["bp"].to_numpy()
+        gene_min_bp = np.asarray([bps[s:e].min() for s, e in
+                                  zip(starts, ends)], dtype=np.int64)
+        return PreparedGenes(
+            engine=self, zs=sub["z"].to_numpy(),
+            infos=sub["info"].to_numpy(), rsids=sub["rsid"].to_numpy(),
+            gids=gids, panel_rows=g_row[gene_rows],
+            spans=list(zip(starts.tolist(), ends.tolist())),
+            gene_min_bp=gene_min_bp,
+            cw_rows=cw[gene_rows], cp_rows=cp[gene_rows],
+            subj_cols=cols, pop_sizes=sizes, wgts=wgts)
+
     # -- compiled kernels --------------------------------------------------
     def _corr_fn(self, Mp: int, Up: int, sizes, wgts):
         key = (Mp, Up, sizes, wgts)
@@ -753,6 +834,64 @@ class PreparedRun:
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)
+
+
+@dataclasses.dataclass
+class PreparedGenes:
+    """Gene-grouped join product for engine-resident jepeg/jepegmix.
+
+    Arrays are aligned to the geneid-sorted gene-SNP order; ``spans``
+    gives each gene's [start, end) slice and ``panel_rows`` the
+    PanelStore row of every gene SNP.  The panel uploads to HBM once
+    (per PreparedGenes) and every jepeg_region call gathers gene blocks
+    on-device."""
+
+    engine: GenomeEngine
+    zs: np.ndarray
+    infos: np.ndarray
+    rsids: np.ndarray
+    gids: np.ndarray
+    panel_rows: np.ndarray
+    spans: List[Tuple[int, int]]
+    gene_min_bp: np.ndarray
+    cw_rows: np.ndarray
+    cp_rows: np.ndarray
+    subj_cols: np.ndarray
+    pop_sizes: Tuple[int, ...]
+    wgts: Optional[Tuple[float, ...]]
+    _G_dev: Optional[jnp.ndarray] = None
+
+    def _device_panel(self) -> jnp.ndarray:
+        if self._G_dev is None:
+            G = self.engine.store.G
+            cols = self.subj_cols
+            full = len(cols) == G.shape[1] and bool(
+                np.array_equal(cols, np.arange(G.shape[1])))
+            self._G_dev = jnp.asarray(G if full else G[:, cols])
+        return self._G_dev
+
+    def jepeg_region(self, start_bp: Optional[int] = None,
+                     end_bp: Optional[int] = None) -> pd.DataFrame:
+        """Gene tests for every gene whose FIRST SNP lies in
+        [start_bp, end_bp] (None = unbounded).  Genes are independent
+        (reference loops them serially, src/jepegmix.cpp:122-139);
+        assigning each gene to the chunk holding its first SNP makes
+        chunked genome-wide runs partition the gene set exactly."""
+        from . import jepeg as jepeg_mod
+        lo = -np.inf if start_bp is None else start_bp
+        hi = np.inf if end_bp is None else end_bp
+        gsel = np.flatnonzero((self.gene_min_bp >= lo)
+                              & (self.gene_min_bp <= hi))
+        if len(gsel) == 0:
+            return pd.DataFrame(columns=jepeg_mod.EMPTY_GENE_FRAME_COLUMNS)
+        from ..core import genekernels
+        spans_sel = [self.spans[i] for i in gsel]
+        idx_list = [self.panel_rows[s:e] for s, e in spans_sel]
+        corrs = genekernels.gene_corr_resident(
+            self._device_panel(), idx_list, self.pop_sizes, self.wgts)
+        return jepeg_mod.run_gene_tests(
+            self.zs, self.infos, self.rsids, self.gids, spans_sel, corrs,
+            self.cw_rows, self.cp_rows, self.engine.settings)
 
 
 def _build_corr_blocks_fn(pop_sizes, wgts):

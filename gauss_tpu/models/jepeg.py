@@ -113,6 +113,42 @@ def _gene_test(CorG: np.ndarray, z: np.ndarray, info: np.ndarray,
     return res
 
 
+def run_gene_tests(zs: np.ndarray, infos: np.ndarray, rsids: np.ndarray,
+                   gids: np.ndarray, spans, corrs,
+                   cw_rows: np.ndarray, cp_rows: np.ndarray,
+                   settings: Settings) -> pd.DataFrame:
+    """Host-side per-gene statistics for pre-gathered gene blocks.
+
+    zs/infos/rsids/gids/cw_rows/cp_rows are aligned to the sorted gene
+    SNP order; ``spans`` is a list of (start, end) slices (one per gene,
+    matching ``corrs``, the per-gene correlation matrices WITHOUT the
+    ridge diagonal).  Reference per-gene loop: src/jepeg.cpp:114-131.
+    """
+    results: List[GeneResult] = []
+    for gi, (s, e) in enumerate(spans):
+        CorG = corrs[gi].copy()
+        np.fill_diagonal(CorG, 1.0 + settings.lambda_)
+        results.append(_gene_test(
+            CorG, zs[s:e], infos[s:e], rsids[s:e], gids[s],
+            cw_rows[s:e], cp_rows[s:e], settings))
+    return pd.DataFrame({
+        "geneid": [r.geneid for r in results],
+        "chisq": [r.chisq for r in results],
+        "df": [r.df for r in results],
+        "jepeg_pval": [r.jepeg_pval for r in results],
+        "num_snp": [r.num_snp for r in results],
+        "top_categ": [r.top_categ for r in results],
+        "top_categ_pval": [r.top_categ_pval for r in results],
+        "top_snp": [r.top_snp for r in results],
+        "top_snp_pval": [r.top_snp_pval for r in results],
+    })
+
+
+EMPTY_GENE_FRAME_COLUMNS = [
+    "geneid", "chisq", "df", "jepeg_pval", "num_snp", "top_categ",
+    "top_categ_pval", "top_snp", "top_snp_pval"]
+
+
 def _jepeg_common(
     input_file: str,
     annotation_file: str,
@@ -191,37 +227,16 @@ def _jepeg_common(
 
     gene_G = [dec.G[g_row[gene_rows[s:e]]] for s, e in zip(starts, ends)]
     if not gene_G:
-        return pd.DataFrame(columns=[
-            "geneid", "chisq", "df", "jepeg_pval", "num_snp", "top_categ",
-            "top_categ_pval", "top_snp", "top_snp_pval"])
+        return pd.DataFrame(columns=EMPTY_GENE_FRAME_COLUMNS)
 
     corrs = genekernels.gene_corr_matrices(
         gene_G, tuple(int(x) for x in dec.pop_sizes),
         tuple(float(x) for x in wgts) if wgts is not None else None)
 
-    results: List[GeneResult] = []
-    zs = sub["z"].to_numpy()
-    infos = sub["info"].to_numpy()
-    rsids = sub["rsid"].to_numpy()
-    for gi, (s, e) in enumerate(zip(starts, ends)):
-        CorG = corrs[gi].copy()
-        np.fill_diagonal(CorG, 1.0 + settings.lambda_)
-        rows = gene_rows[s:e]
-        results.append(_gene_test(
-            CorG, zs[s:e], infos[s:e], rsids[s:e], gids[s],
-            cw[rows], cp[rows], settings))
-
-    return pd.DataFrame({
-        "geneid": [r.geneid for r in results],
-        "chisq": [r.chisq for r in results],
-        "df": [r.df for r in results],
-        "jepeg_pval": [r.jepeg_pval for r in results],
-        "num_snp": [r.num_snp for r in results],
-        "top_categ": [r.top_categ for r in results],
-        "top_categ_pval": [r.top_categ_pval for r in results],
-        "top_snp": [r.top_snp for r in results],
-        "top_snp_pval": [r.top_snp_pval for r in results],
-    })
+    return run_gene_tests(
+        sub["z"].to_numpy(), sub["info"].to_numpy(),
+        sub["rsid"].to_numpy(), gids, list(zip(starts, ends)), corrs,
+        cw[gene_rows], cp[gene_rows], settings)
 
 
 def jepeg(

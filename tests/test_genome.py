@@ -203,3 +203,75 @@ def test_engine_homog_matches_percall_dist(store, synpanel, gwas_input):
                                rtol=2e-3, atol=2e-3)
     np.testing.assert_allclose(m.loc[imp, "info_d"], m.loc[imp, "info_h"],
                                rtol=2e-3, atol=2e-3)
+
+
+# ---------------------------------------------------------------------------
+# Engine-resident jepeg/jepegmix
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def annot_file_g(synpanel, tmp_path_factory):
+    from gauss_tpu.utils import testing as gtest
+    d = tmp_path_factory.mktemp("annot_g")
+    path = str(d / "annot.txt")
+    gtest.make_annotation(synpanel, path)
+    return path
+
+
+def _gene_sorted(df):
+    return df.sort_values("geneid").reset_index(drop=True)
+
+
+def test_engine_resident_jepeg_parity(store, synpanel, gwas_input,
+                                      annot_file_g):
+    """PreparedGenes.jepeg_region (one panel decode, on-device gene
+    gather) must reproduce the per-call host jepeg path exactly."""
+    path, _ = gwas_input
+    host = gauss_tpu.jepeg("EUR", path, annot_file_g,
+                           synpanel.files.index_file,
+                           synpanel.files.data_file,
+                           synpanel.files.pop_desc_file)
+    eng = GenomeEngine(store)
+    inp = readers.read_input_z(path, all_snps=True)
+    annot = readers.read_annotation(annot_file_g)
+    res = eng.prepare_genes(inp, annot, study_pop="EUR").jepeg_region()
+    host, res = _gene_sorted(host), _gene_sorted(res)
+    assert list(host["geneid"]) == list(res["geneid"])
+    np.testing.assert_allclose(res["chisq"], host["chisq"],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(res["df"], host["df"])
+    np.testing.assert_allclose(res["jepeg_pval"], host["jepeg_pval"],
+                               rtol=1e-9, atol=1e-12)
+    assert list(res["top_categ"]) == list(host["top_categ"])
+    assert list(res["top_snp"]) == list(host["top_snp"])
+
+
+def test_engine_resident_jepegmix_parity_and_chunking(
+        store, synpanel, gwas_input, annot_file_g):
+    path, _ = gwas_input
+    pop_wgt = {"AAA": 0.4, "BBB": 0.35, "EEE": 0.25}
+    host = gauss_tpu.jepegmix(
+        pd.DataFrame({"pop": list(pop_wgt), "wgt": list(pop_wgt.values())}),
+        path, annot_file_g, synpanel.files.index_file,
+        synpanel.files.data_file, synpanel.files.pop_desc_file)
+    eng = GenomeEngine(store)
+    inp = readers.read_input_z(path, all_snps=True)
+    annot = readers.read_annotation(annot_file_g)
+    pg = eng.prepare_genes(inp, annot, pop_wgt=pop_wgt)
+    res = pg.jepeg_region()
+    host, res = _gene_sorted(host), _gene_sorted(res)
+    assert list(host["geneid"]) == list(res["geneid"])
+    np.testing.assert_allclose(res["chisq"], host["chisq"],
+                               rtol=1e-9, atol=1e-12)
+    np.testing.assert_array_equal(res["df"], host["df"])
+
+    # chunk partition: genes assigned by first-SNP bp; two disjoint
+    # ranges must union to the full gene set with identical rows
+    bps = synpanel.index_df["bp"]
+    mid = int((bps.min() + bps.max()) // 2)
+    a = pg.jepeg_region(int(bps.min()), mid)
+    b = pg.jepeg_region(mid + 1, int(bps.max()))
+    both = _gene_sorted(pd.concat([a, b], ignore_index=True))
+    assert list(both["geneid"]) == list(res["geneid"])
+    np.testing.assert_allclose(both["chisq"], res["chisq"],
+                               rtol=1e-12, atol=0)
