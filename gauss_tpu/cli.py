@@ -161,9 +161,18 @@ def main(argv=None):
     p.add_argument("--panel-cache", default=None)
 
     p = sub.add_parser("impute-genome",
-                       help="checkpointed chunked distmix over a whole "
+                       help="checkpointed chunked analysis (distmix/dist/"
+                            "qcat/jepeg/computeLD) over a whole "
                             "chromosome/region; resumable (--run-dir)")
-    _ref_args(p, window=True, pop="wgt")
+    _ref_args(p, window=True, pop="none")
+    p.add_argument("--pop-wgt-file", default=None,
+                   help="TSV with columns pop wgt -> cosmopolitan "
+                        "(distmix/qcatmix/jepegmix/computeLD) mode")
+    p.add_argument("--study-pop", default=None,
+                   help="population or super-population name -> "
+                        "homogeneous (dist/qcat/jepeg) mode")
+    p.add_argument("--annotation-file", default=None,
+                   help="required for --analysis jepeg")
     p.add_argument("--window-bp", type=int, default=1_000_000)
     p.add_argument("--wing-size", type=int, default=500_000)
     p.add_argument("--chunk-bp", type=int, default=16_000_000)
@@ -186,9 +195,12 @@ def main(argv=None):
                    help="decode the panel per chunk instead of holding "
                         "the whole range in RAM (for panels larger than "
                         "host memory)")
-    p.add_argument("--analysis", choices=["impute", "qcat"],
+    p.add_argument("--analysis",
+                   choices=["impute", "qcat", "jepeg", "ld"],
                    default="impute",
-                   help="which windowed analysis to run per chunk")
+                   help="which analysis to run per chunk (ld = "
+                        "computeLD; dense matrices land in "
+                        "run-dir/results/*_cormat.npz)")
     p.add_argument("--mesh", default=None, metavar="WxS",
                    help="run sharded over a (window x subject) device "
                         "mesh, e.g. 2x4 (needs W*S devices)")
@@ -360,13 +372,25 @@ def main(argv=None):
                                    wing_size=args.wing_size)
         eng = GenomeEngine(store, device_linalg=not args.host_linalg,
                            mesh=_parse_mesh(args.mesh))
+        if (args.pop_wgt_file is None) == (args.study_pop is None):
+            raise SystemExit("ERROR: exactly one of --pop-wgt-file / "
+                             "--study-pop required")
+        pop_wgt = (readers.pop_wgt_map_from_df(
+                       _read_pop_wgt(args.pop_wgt_file))
+                   if args.pop_wgt_file else None)
+        annot_df = None
+        if args.analysis == "jepeg":
+            if not args.annotation_file:
+                raise SystemExit("ERROR: --analysis jepeg needs "
+                                 "--annotation-file")
+            annot_df = readers.read_annotation(args.annotation_file)
         runner = GenomeRunner(
-            args.run_dir, eng, inp,
-            readers.pop_wgt_map_from_df(_read_pop_wgt(args.pop_wgt_file)),
+            args.run_dir, eng, inp, pop_wgt,
             af1_cutoff=args.af1_cutoff, window_bp=args.window_bp,
             wing_size=args.wing_size, chunk_bp=args.chunk_bp,
             tracer=Tracer(verbose=True, log_file=args.trace_log),
-            panel_files=panel_files, analysis=args.analysis)
+            panel_files=panel_files, analysis=args.analysis,
+            study_pop=args.study_pop, annot_df=annot_df)
         runner.plan(args.chr, args.start_bp, args.end_bp)
         stats = runner.run(resume=not args.restart)
         print(f"[gauss_tpu] chunks done={stats['done']} "

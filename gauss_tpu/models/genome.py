@@ -883,7 +883,7 @@ class PreparedGenes:
         gsel = np.flatnonzero((self.gene_min_bp >= lo)
                               & (self.gene_min_bp <= hi))
         if len(gsel) == 0:
-            return pd.DataFrame(columns=jepeg_mod.EMPTY_GENE_FRAME_COLUMNS)
+            return jepeg_mod.empty_gene_frame()
         from ..core import genekernels
         spans_sel = [self.spans[i] for i in gsel]
         idx_list = [self.panel_rows[s:e] for s, e in spans_sel]

@@ -144,9 +144,20 @@ def run_gene_tests(zs: np.ndarray, infos: np.ndarray, rsids: np.ndarray,
     })
 
 
-EMPTY_GENE_FRAME_COLUMNS = [
-    "geneid", "chisq", "df", "jepeg_pval", "num_snp", "top_categ",
-    "top_categ_pval", "top_snp", "top_snp_pval"]
+def empty_gene_frame() -> pd.DataFrame:
+    """Typed empty result frame (so concatenation with non-empty chunk
+    shards keeps numeric dtypes)."""
+    return pd.DataFrame({
+        "geneid": pd.Series(dtype=object),
+        "chisq": pd.Series(dtype=np.float64),
+        "df": pd.Series(dtype=np.int64),
+        "jepeg_pval": pd.Series(dtype=np.float64),
+        "num_snp": pd.Series(dtype=np.int64),
+        "top_categ": pd.Series(dtype=object),
+        "top_categ_pval": pd.Series(dtype=np.float64),
+        "top_snp": pd.Series(dtype=object),
+        "top_snp_pval": pd.Series(dtype=np.float64),
+    })
 
 
 def _jepeg_common(
@@ -227,7 +238,7 @@ def _jepeg_common(
 
     gene_G = [dec.G[g_row[gene_rows[s:e]]] for s, e in zip(starts, ends)]
     if not gene_G:
-        return pd.DataFrame(columns=EMPTY_GENE_FRAME_COLUMNS)
+        return empty_gene_frame()
 
     corrs = genekernels.gene_corr_matrices(
         gene_G, tuple(int(x) for x in dec.pop_sizes),

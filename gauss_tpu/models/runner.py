@@ -78,14 +78,17 @@ class GenomeRunner:
     """
 
     def __init__(self, run_dir: str, engine: GenomeEngine,
-                 input_df: pd.DataFrame, pop_wgt: Dict[str, float],
+                 input_df: pd.DataFrame,
+                 pop_wgt: Optional[Dict[str, float]] = None,
                  af1_cutoff: float = 0.01,
                  window_bp: int = 1_000_000,
                  wing_size: int = 500_000,
                  chunk_bp: int = 16_000_000,
                  tracer: Tracer = NULL_TRACER,
                  panel_files=None,
-                 analysis: str = "impute"):
+                 analysis: str = "impute",
+                 study_pop: Optional[str] = None,
+                 annot_df: Optional[pd.DataFrame] = None):
         """``engine`` holds the resident panel.  With ``panel_files``
         set (a PanelFiles), the runner instead runs in STREAMING mode:
         each chunk decodes only its own [start - wing, end + wing]
@@ -103,9 +106,20 @@ class GenomeRunner:
         self.chunk_bp = chunk_bp
         self.tracer = tracer
         self.panel_files = panel_files
-        if analysis not in ("impute", "qcat"):
+        if analysis not in ("impute", "qcat", "jepeg", "ld"):
             raise ValueError(f"unknown analysis '{analysis}'")
+        if (pop_wgt is None) == (study_pop is None):
+            raise ValueError("exactly one of pop_wgt (cosmopolitan) / "
+                             "study_pop (homogeneous) required")
+        if analysis == "jepeg" and annot_df is None:
+            raise ValueError("analysis='jepeg' needs annot_df "
+                             "(readers.read_annotation output)")
+        if analysis == "ld" and pop_wgt is None:
+            raise ValueError("analysis='ld' is the ancestry-weighted "
+                             "computeLD path and needs pop_wgt")
         self.analysis = analysis
+        self.study_pop = study_pop
+        self.annot_df = annot_df
         self.chunks: Dict[str, ChunkState] = {}
         self._run = None
         os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
@@ -125,7 +139,8 @@ class GenomeRunner:
                                ("wing_size", self.wing_size),
                                ("chunk_bp", self.chunk_bp),
                                ("af1_cutoff", self.af1_cutoff),
-                               ("analysis", self.analysis)):
+                               ("analysis", self.analysis),
+                               ("study_pop", self.study_pop)):
                 stored = data.get(name)
                 if stored is not None and stored != ours:
                     mismatches.append(
@@ -142,6 +157,7 @@ class GenomeRunner:
     def _save_manifest(self) -> None:
         _atomic_write_json(self._manifest_path(), {
             "analysis": self.analysis,
+            "study_pop": self.study_pop,
             "window_bp": self.window_bp,
             "wing_size": self.wing_size,
             "chunk_bp": self.chunk_bp,
@@ -174,6 +190,19 @@ class GenomeRunner:
         self._save_manifest()
 
     # -- execution --------------------------------------------------------
+    def _prepare_engine(self):
+        """One prepare (join + AF filter) appropriate to the analysis
+        and population mode."""
+        if self.analysis == "jepeg":
+            return self.engine.prepare_genes(
+                self.input_df, self.annot_df, study_pop=self.study_pop,
+                pop_wgt=self.pop_wgt, af1_cutoff=self.af1_cutoff)
+        if self.pop_wgt is not None:
+            return self.engine.prepare_mix(self.input_df, self.pop_wgt,
+                                           af1_cutoff=self.af1_cutoff)
+        return self.engine.prepare_homog(self.input_df, self.study_pop,
+                                         af1_cutoff=self.af1_cutoff)
+
     def _prepared(self, cs: Optional[ChunkState] = None):
         if self.panel_files is not None and cs is not None:
             # streaming: decode this chunk's panel range (plus wings)
@@ -185,14 +214,10 @@ class GenomeRunner:
                     start_bp=cs.start_bp - self.wing_size,
                     end_bp=cs.end_bp + self.wing_size)
             with self.tracer.phase("prepare_chunk", key=cs.key):
-                return self.engine.prepare_mix(
-                    self.input_df, self.pop_wgt,
-                    af1_cutoff=self.af1_cutoff)
+                return self._prepare_engine()
         if self._run is None:
             with self.tracer.phase("prepare", snps=len(self.input_df)):
-                self._run = self.engine.prepare_mix(
-                    self.input_df, self.pop_wgt,
-                    af1_cutoff=self.af1_cutoff)
+                self._run = self._prepare_engine()
         return self._run
 
     def _result_path(self, cs: ChunkState) -> str:
@@ -217,17 +242,26 @@ class GenomeRunner:
             try:
                 with self.tracer.phase("chunk", key=cs.key):
                     run = self._prepared(cs)
-                    region = (run.impute_region if self.analysis == "impute"
-                              else run.qcat_region)
-                    df = region(cs.start_bp, cs.end_bp,
-                                window_bp=self.window_bp,
-                                wing_size=self.wing_size)
+                    if self.analysis == "impute":
+                        df = run.impute_region(cs.start_bp, cs.end_bp,
+                                               window_bp=self.window_bp,
+                                               wing_size=self.wing_size)
+                    elif self.analysis == "qcat":
+                        df = run.qcat_region(cs.start_bp, cs.end_bp,
+                                             window_bp=self.window_bp,
+                                             wing_size=self.wing_size)
+                    elif self.analysis == "jepeg":
+                        df = run.jepeg_region(cs.start_bp, cs.end_bp)
+                    else:  # ld
+                        blocks = run.ld_region(cs.start_bp, cs.end_bp,
+                                               window_bp=self.window_bp)
+                        df = self._save_ld_blocks(cs, blocks)
                 df.to_parquet(self._result_path(cs))
                 cs.status = "done"
                 cs.error = None
                 cs.n_rows = int(len(df))
                 cs.n_imputed = (int((df["type"] == 0).sum())
-                                if len(df) else 0)
+                                if len(df) and "type" in df.columns else 0)
                 stats["done"] += 1
             except KeyboardInterrupt:
                 raise
@@ -244,6 +278,50 @@ class GenomeRunner:
             cs.elapsed = time.time() - t0
             self._save_manifest()
         return stats
+
+    def _ld_matrix_path(self, cs: ChunkState) -> str:
+        return os.path.join(self.run_dir, "results", f"{cs.key}_cormat.npz")
+
+    def _save_ld_blocks(self, cs: ChunkState, blocks) -> pd.DataFrame:
+        """Persist one chunk of computeLD windows: the dense matrices go
+        to a per-chunk .npz (one array per window), the snplists into the
+        regular parquet shard with a ``window`` id column."""
+        np.savez_compressed(self._ld_matrix_path(cs),
+                            **{f"w{i}": b["cormat"]
+                               for i, b in enumerate(blocks)})
+        frames = []
+        for i, b in enumerate(blocks):
+            sl = b["snplist"].copy()
+            sl.insert(0, "window", i)
+            frames.append(sl)
+        if not frames:
+            return pd.DataFrame()
+        return pd.concat(frames, ignore_index=True)
+
+    def collect_ld(self):
+        """Reassemble computeLD results: [{'snplist': df, 'cormat': arr}]
+        over all completed chunks in genomic order."""
+        if self.analysis != "ld":
+            raise ValueError("collect_ld() is for analysis='ld' runs")
+        out = []
+        for cs in sorted(self.chunks.values(),
+                         key=lambda c: (c.chrom, c.start_bp)):
+            if cs.status != "done":
+                continue
+            path = self._result_path(cs)
+            mpath = self._ld_matrix_path(cs)
+            if not (os.path.exists(path) and os.path.exists(mpath)):
+                continue
+            snl = pd.read_parquet(path)
+            with np.load(mpath) as mats:
+                for i in sorted({int(w) for w in snl["window"]} if len(snl)
+                                else set()):
+                    out.append({
+                        "snplist": snl[snl["window"] == i].drop(
+                            columns="window").reset_index(drop=True),
+                        "cormat": mats[f"w{i}"],
+                    })
+        return out
 
     # -- results ----------------------------------------------------------
     def collect(self) -> pd.DataFrame:

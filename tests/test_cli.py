@@ -142,3 +142,45 @@ def test_cli_panel_cache_and_region(synpanel, gwas_input, region, tmp_path):
              + _ref_argv(synpanel) + ["-o", str(out)])
     df = pd.read_csv(out, sep="\t")
     assert len(df) > 0 and df["bp"].is_unique
+
+
+def test_cli_genome_jepeg_and_dist_modes(synpanel, gwas_input, region,
+                                         tmp_path):
+    from gauss_tpu.utils import testing as gtest
+    path, _ = gwas_input
+    lo, hi = region
+    annot = tmp_path / "annot.txt"
+    gtest.make_annotation(synpanel, str(annot))
+
+    # homogeneous dist through the ledger (--study-pop, no weights)
+    out = tmp_path / "dist.tsv"
+    cli.main(["impute-genome", "--chr", "22", "--start-bp", str(lo),
+              "--end-bp", str(hi), "--study-pop", "EUR",
+              "--input-file", path,
+              "--window-bp", str((hi - lo) // 2 + 1),
+              "--wing-size", str(hi - lo),
+              "--chunk-bp", str(hi - lo + 1),
+              "--run-dir", str(tmp_path / "rd")] + _ref_argv(synpanel)
+             + ["-o", str(out)])
+    df = pd.read_csv(out, sep="\t")
+    assert len(df) > 0 and "af1ref" in df.columns
+
+    # checkpointed jepeg
+    out2 = tmp_path / "jepeg.tsv"
+    cli.main(["impute-genome", "--analysis", "jepeg", "--chr", "22",
+              "--start-bp", str(lo), "--end-bp", str(hi),
+              "--study-pop", "EUR", "--input-file", path,
+              "--annotation-file", str(annot),
+              "--chunk-bp", str((hi - lo) // 2 + 1),
+              "--run-dir", str(tmp_path / "rj")] + _ref_argv(synpanel)
+             + ["-o", str(out2)])
+    dfj = pd.read_csv(out2, sep="\t")
+    assert len(dfj) > 0 and "jepeg_pval" in dfj.columns
+
+    # both pop modes at once must fail fast
+    import pytest as _pytest
+    with _pytest.raises(SystemExit):
+        cli.main(["impute-genome", "--chr", "22", "--start-bp", str(lo),
+                  "--end-bp", str(hi), "--study-pop", "EUR",
+                  "--pop-wgt-file", "x.tsv", "--input-file", path,
+                  "--run-dir", str(tmp_path / "rx")] + _ref_argv(synpanel))

@@ -213,3 +213,91 @@ def test_qcat_analysis_runner(tmp_path, setup):
     assert stats["failed"] == 0 and stats["done"] >= 2
     df = r.collect()
     assert "qcat_chisq" in df.columns and len(df) > 0
+
+
+def test_dist_homog_analysis_runner(tmp_path, setup):
+    """analysis='impute' with study_pop runs the homogeneous dist path
+    through the ledger and matches an unchunked prepare_homog run."""
+    store, inp, _, _ = setup
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    r = GenomeRunner(str(tmp_path / "dist"), eng, inp, study_pop="EUR",
+                     window_bp=600_000, wing_size=200_000,
+                     chunk_bp=600_000)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r.run()
+    assert stats["failed"] == 0 and stats["done"] >= 2
+    got = r.collect()
+
+    direct = eng.prepare_homog(inp, "EUR").impute_region(
+        1_000_000, 2_800_000, window_bp=600_000, wing_size=200_000)
+    m = got.merge(direct, on=["rsid", "bp"], suffixes=("_r", "_d"))
+    assert len(m) == len(direct)
+    # per-chunk (Mp, Up) buckets differ from the region-unified shape,
+    # so f32 reduction order shifts the solves by ~1e-5
+    np.testing.assert_allclose(m["z_r"], m["z_d"], rtol=2e-4, atol=2e-5)
+
+
+def test_ld_analysis_runner(tmp_path, setup):
+    """analysis='ld' persists window matrices and collect_ld round-trips
+    them identically to a direct ld_region call."""
+    store, inp, pop_wgt, _ = setup
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    r = GenomeRunner(str(tmp_path / "ld"), eng, inp, pop_wgt,
+                     window_bp=600_000, wing_size=200_000,
+                     chunk_bp=1_200_000, analysis="ld")
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r.run()
+    assert stats["failed"] == 0
+    blocks = r.collect_ld()
+    direct = eng.prepare_mix(inp, pop_wgt).ld_region(
+        1_000_000, 2_800_000, window_bp=600_000)
+    assert len(blocks) == len(direct)
+    for b, d in zip(blocks, direct):
+        assert list(b["snplist"]["rsid"]) == list(d["snplist"]["rsid"])
+        np.testing.assert_allclose(b["cormat"], d["cormat"],
+                                   rtol=0, atol=0)
+
+
+def test_jepeg_analysis_runner(tmp_path, setup, tmp_path_factory):
+    """analysis='jepeg' partitions genes across chunks; union equals the
+    unchunked engine-resident run."""
+    from gauss_tpu.utils.testing import make_annotation
+    store, inp, pop_wgt, files = setup
+
+    class _P:  # make_annotation wants .index_df
+        index_df = store.index
+    ad = tmp_path_factory.mktemp("runner_annot")
+    apath = str(ad / "annot.txt")
+    make_annotation(_P, apath)
+    annot = readers.read_annotation(apath)
+
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    r = GenomeRunner(str(tmp_path / "jep"), eng, inp, pop_wgt,
+                     window_bp=600_000, wing_size=200_000,
+                     chunk_bp=600_000, analysis="jepeg", annot_df=annot)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r.run()
+    assert stats["failed"] == 0
+    got = r.collect().sort_values("geneid").reset_index(drop=True)
+
+    direct = eng.prepare_genes(inp, annot, pop_wgt=pop_wgt).jepeg_region(
+        1_000_000, 2_800_000).sort_values("geneid").reset_index(drop=True)
+    assert list(got["geneid"]) == list(direct["geneid"])
+    np.testing.assert_allclose(got["chisq"], direct["chisq"],
+                               rtol=0, atol=0)
+
+
+def test_runner_rejects_bad_pop_mode(tmp_path, setup):
+    store, inp, pop_wgt, _ = setup
+    eng = GenomeEngine(store, device_linalg=True)
+    with pytest.raises(ValueError, match="exactly one"):
+        GenomeRunner(str(tmp_path / "x"), eng, inp, pop_wgt,
+                     study_pop="EUR")
+    with pytest.raises(ValueError, match="exactly one"):
+        GenomeRunner(str(tmp_path / "y"), eng, inp)
+    with pytest.raises(ValueError, match="annot_df"):
+        GenomeRunner(str(tmp_path / "z"), eng, inp, pop_wgt,
+                     analysis="jepeg")
+    with pytest.raises(ValueError, match="pop_wgt"):
+        GenomeRunner(str(tmp_path / "w"), eng, inp, study_pop="EUR",
+                     analysis="ld")
