@@ -109,6 +109,9 @@ def main(argv=None):
         p = sub.add_parser(name)
         _ref_args(p, window=False)
         p.add_argument("--interval", type=int, default=None)
+        p.add_argument("--panel-cache", default=None,
+                       help="decoded panel cache dir (panel-cache cmd); "
+                            "skips the bgzf decode")
 
     p = sub.add_parser("zmix")
     _ref_args(p, window=False)
@@ -116,6 +119,9 @@ def main(argv=None):
     p.add_argument("--interval", type=int, default=10)
     p.add_argument("--level", choices=["population", "superpopulation"],
                    default="population")
+    p.add_argument("--panel-cache", default=None,
+                   help="decoded panel cache dir (panel-cache cmd); "
+                        "skips the bgzf decode")
 
     for name, pop in [("jepeg", "study"), ("jepegmix", "wgt")]:
         p = sub.add_parser(name)
@@ -247,13 +253,34 @@ def main(argv=None):
         if args.cormat_out:
             _emit_matrix(res["cormat"], args.cormat_out)
     elif args.cmd in ("afmix", "cpw2"):
-        fn = getattr(gauss_tpu, args.cmd)
-        df = fn(args.input_file, **ref, interval=args.interval)
+        if args.panel_cache:
+            from gauss_tpu.io import readers
+            from gauss_tpu.models import ancestry
+            from gauss_tpu.models.genome import PanelStore
+            store = PanelStore.load(args.panel_cache)
+            inp = readers.read_input_af(args.input_file)
+            fn = (ancestry.afmix_store if args.cmd == "afmix"
+                  else ancestry.cpw2_store)
+            df = fn(store, inp, interval=args.interval)
+        else:
+            fn = getattr(gauss_tpu, args.cmd)
+            df = fn(args.input_file, **ref, interval=args.interval)
         _emit(df, args.output)
     elif args.cmd == "zmix":
-        df = gauss_tpu.zmix(args.input_file, **ref,
-                            percentile=args.percentile,
-                            interval=args.interval, level=args.level)
+        if args.panel_cache:
+            from gauss_tpu.io import readers
+            from gauss_tpu.models import ancestry
+            from gauss_tpu.models.genome import PanelStore
+            store = PanelStore.load(args.panel_cache)
+            inp = readers.read_input_z(args.input_file, all_snps=True)
+            df = ancestry.zmix_store(store, inp,
+                                     percentile=args.percentile,
+                                     interval=args.interval,
+                                     level=args.level)
+        else:
+            df = gauss_tpu.zmix(args.input_file, **ref,
+                                percentile=args.percentile,
+                                interval=args.interval, level=args.level)
         _emit(df, args.output)
     elif args.cmd in ("jepeg", "jepegmix"):
         if args.cmd == "jepeg":

@@ -287,16 +287,19 @@ def prep_zmix4(input_file: str, reference_index_file: str,
     return np.column_stack([hs.astype(np.float64), zz, corr])
 
 
-def _prep_zmix5_core(input_file: str, panel: PanelFiles,
-                     percentile: float, interval: int, sup_level: bool):
-    measured, desc = _load_zmix(input_file, panel)
+def _zmix5_mat(measured: pd.DataFrame, desc: readers.PopDesc,
+               percentile: float, interval: int, sup_level: bool,
+               af_fn, geno_fn):
+    """prep_zmix5 core given row-subset accessors: ``af_fn(df) -> [n,P]``
+    panel AFs and ``geno_fn(df) -> [n,S]`` dosages (bgzf decode for the
+    per-call path, array slices for the PanelStore-resident path)."""
     sub = measured.iloc[::interval].reset_index(drop=True)
-    af_panel = _panel_afs(sub, panel, desc)
+    af_panel = af_fn(sub)
     nv = _af_norm_var(af_panel)
     cutoff = quantile_type7(nv, percentile)
     keep = nv > cutoff
     aims = sub[keep].reset_index(drop=True)
-    G = _panel_genotypes(aims, panel, desc)
+    G = geno_fn(aims)
     z = aims["z"].to_numpy()
     if not sup_level:
         R = ldkernels.per_pop_corr(G, tuple(int(x) for x in desc.sizes))
@@ -313,6 +316,14 @@ def _prep_zmix5_core(input_file: str, panel: PanelFiles,
         mats.append(ldkernels.pooled_corr(G[:, cols], G[:, cols]))
     R = np.stack(mats)
     return _pair_rows_all(z, R), desc
+
+
+def _prep_zmix5_core(input_file: str, panel: PanelFiles,
+                     percentile: float, interval: int, sup_level: bool):
+    measured, desc = _load_zmix(input_file, panel)
+    return _zmix5_mat(measured, desc, percentile, interval, sup_level,
+                      af_fn=lambda df: _panel_afs(df, panel, desc),
+                      geno_fn=lambda df: _panel_genotypes(df, panel, desc))
 
 
 def prep_zmix5(input_file: str, reference_index_file: str,
@@ -363,6 +374,13 @@ def zmix(input_file: str, reference_index_file: str,
                        reference_pop_desc_file)
     mat, desc = _prep_zmix5_core(input_file, panel, percentile, interval,
                                  level == "superpopulation")
+    return _zmix_fit(mat, desc, level)
+
+
+def _zmix_fit(mat: np.ndarray, desc: readers.PopDesc,
+              level: str) -> pd.DataFrame:
+    """Simplex-QP weight fit + normalize/round post-processing
+    (reference: R/zmix.R:48-117)."""
     mat = mat[np.isfinite(mat).all(axis=1)]
     if mat.shape[0] == 0:
         raise ValueError("zmix: no valid rows after filtering")
@@ -379,3 +397,96 @@ def zmix(input_file: str, reference_index_file: str,
     return pd.DataFrame({"Population": desc.pops,
                          "SuperPopulation": desc.sup_pops,
                          "Weight": w})
+
+
+# ---------------------------------------------------------------------------
+# PanelStore-resident variants (decode the panel once, reuse the arrays)
+# ---------------------------------------------------------------------------
+
+def _measured_from_store(store, input_df: pd.DataFrame
+                         ) -> Tuple[pd.DataFrame, np.ndarray]:
+    """Join input against the in-memory panel index
+    (ReadReferenceIndexAll semantics: no unmeasured inserts, af1study
+    flip on swaps; reference src/gauss.cpp:431-518) and map the measured
+    rows to PanelStore row ids."""
+    table = variants.join_reference_index(
+        input_df, store.index, add_unmeasured=False, flip_af1study=True)
+    measured = table[table["type"] == 1].reset_index(drop=True)
+    fmap = pd.Series(np.arange(len(store.index)),
+                     index=store.index["fpos"].to_numpy())
+    rows = fmap.reindex(
+        measured["fpos"].to_numpy()).to_numpy().astype(np.int64)
+    return measured, rows
+
+
+def afmix_store(store, input_df: pd.DataFrame,
+                interval: Optional[int] = None,
+                settings: Settings = DEFAULT_SETTINGS) -> pd.DataFrame:
+    """afmix over a resident PanelStore: the per-subset AF matrix comes
+    straight from store.af instead of the reference's per-SNP
+    bgzf_seek loop (src/afmix.cpp:150-173, re-run per invocation)."""
+    interval = 1000 if interval is None else int(interval)
+    measured, rows = _measured_from_store(store, input_df)
+    W = _afmix_weights(measured["af1study"].to_numpy(), store.af[rows],
+                       interval, transform=False,
+                       min_abs_eig=settings.min_abs_eig)
+    keep = W > 0
+    return pd.DataFrame({
+        "sup.pop": np.asarray(store.desc.sup_pops, dtype=object)[keep],
+        "pop": np.asarray(store.desc.pops, dtype=object)[keep],
+        "wgt": W[keep],
+    })
+
+
+def cpw2_store(store, input_df: pd.DataFrame,
+               interval: Optional[int] = None,
+               settings: Settings = DEFAULT_SETTINGS) -> pd.DataFrame:
+    """cpw2 (arcsine-sqrt afmix) over a resident PanelStore."""
+    interval = 1000 if interval is None else int(interval)
+    measured, rows = _measured_from_store(store, input_df)
+    W = _afmix_weights(measured["af1study"].to_numpy(), store.af[rows],
+                       interval, transform=True,
+                       min_abs_eig=settings.min_abs_eig)
+    keep = W > 0
+    return pd.DataFrame({
+        "pop": np.asarray(store.desc.pops, dtype=object)[keep],
+        "wgt": W[keep],
+    })
+
+
+def _zmix5_mat_store(store, input_df: pd.DataFrame, percentile: float,
+                     interval: int, sup_level: bool):
+    measured, rows = _measured_from_store(store, input_df)
+    # carry the store row id as a column: _zmix5_mat resets indices when
+    # it subsets, so positional mapping would silently mis-align
+    measured = measured.assign(_store_row=rows)
+    af_fn = lambda df: store.af[df["_store_row"].to_numpy()]
+    geno_fn = lambda df: store.G[df["_store_row"].to_numpy()]
+    return _zmix5_mat(measured, store.desc, percentile, interval,
+                      sup_level, af_fn=af_fn, geno_fn=geno_fn)
+
+
+def prep_zmix5_store(store, input_df: pd.DataFrame,
+                     percentile: Optional[float] = None,
+                     interval: Optional[int] = None,
+                     sup_level: bool = False) -> np.ndarray:
+    """prep_zmix5[_sup] over a resident PanelStore."""
+    percentile = 0.99 if percentile is None else float(percentile)
+    interval = 1 if interval is None else int(interval)
+    mat, _ = _zmix5_mat_store(store, input_df, percentile, interval,
+                              sup_level)
+    return mat
+
+
+def zmix_store(store, input_df: pd.DataFrame, percentile: float = 0.9,
+               interval: int = 10,
+               level: str = "population") -> pd.DataFrame:
+    """zmix over a resident PanelStore: one panel decode serves AIM
+    selection (AF variance), pair correlations, and the QP fit
+    (reference re-reads the panel inside prep_zmix5 every call,
+    src/zmix.cpp:44-187)."""
+    if level not in ("population", "superpopulation"):
+        raise ValueError("level must be 'population' or 'superpopulation'")
+    mat, desc = _zmix5_mat_store(store, input_df, percentile, interval,
+                                 level == "superpopulation")
+    return _zmix_fit(mat, desc, level)

@@ -269,6 +269,35 @@ class GenomeEngine:
             cw_rows=cw[gene_rows], cp_rows=cp[gene_rows],
             subj_cols=cols, pop_sizes=sizes, wgts=wgts)
 
+    # -- ancestry over the resident panel -----------------------------------
+    def afmix(self, input_af_df: pd.DataFrame,
+              interval: Optional[int] = None) -> pd.DataFrame:
+        """Engine-resident afmix (no bgzf re-decode; reference
+        src/afmix.cpp re-reads the panel per call)."""
+        from . import ancestry
+        return ancestry.afmix_store(self.store, input_af_df, interval,
+                                    self.settings)
+
+    def cpw2(self, input_af_df: pd.DataFrame,
+             interval: Optional[int] = None) -> pd.DataFrame:
+        from . import ancestry
+        return ancestry.cpw2_store(self.store, input_af_df, interval,
+                                   self.settings)
+
+    def prep_zmix5(self, input_z_df: pd.DataFrame,
+                   percentile: Optional[float] = None,
+                   interval: Optional[int] = None,
+                   sup_level: bool = False) -> np.ndarray:
+        from . import ancestry
+        return ancestry.prep_zmix5_store(self.store, input_z_df,
+                                         percentile, interval, sup_level)
+
+    def zmix(self, input_z_df: pd.DataFrame, percentile: float = 0.9,
+             interval: int = 10, level: str = "population") -> pd.DataFrame:
+        from . import ancestry
+        return ancestry.zmix_store(self.store, input_z_df, percentile,
+                                   interval, level)
+
     # -- compiled kernels --------------------------------------------------
     def _corr_fn(self, Mp: int, Up: int, sizes, wgts):
         key = (Mp, Up, sizes, wgts)

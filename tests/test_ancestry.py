@@ -168,3 +168,71 @@ def test_zmix_runs_and_recovers_signal(synpanel, tmp_path):
                              level="superpopulation")
     assert list(res_sup.columns) == ["SuperPopulation", "Weight"]
     assert len(res_sup) == len(desc.sup_pop_order())
+
+
+# ---------------------------------------------------------------------------
+# PanelStore-resident ancestry: exact parity with the per-call bgzf path
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def anc_store(synpanel):
+    from gauss_tpu.models.genome import PanelStore
+    return PanelStore.from_bgzf(synpanel.files)
+
+
+def test_afmix_cpw2_store_parity(synpanel, af_input, anc_store):
+    from gauss_tpu.io import readers
+    from gauss_tpu.models import ancestry
+    inp = readers.read_input_af(af_input)
+    for file_fn, store_fn in ((gauss_tpu.afmix, ancestry.afmix_store),
+                              (gauss_tpu.cpw2, ancestry.cpw2_store)):
+        ref = file_fn(af_input, synpanel.files.index_file,
+                      synpanel.files.data_file,
+                      synpanel.files.pop_desc_file, interval=25)
+        got = store_fn(anc_store, inp, interval=25)
+        assert list(got["pop"]) == list(ref["pop"])
+        np.testing.assert_allclose(got["wgt"], ref["wgt"], rtol=0, atol=0)
+
+
+def test_prep_zmix5_and_zmix_store_parity(synpanel, gwas_input, anc_store):
+    from gauss_tpu.io import readers
+    from gauss_tpu.models import ancestry
+    path, _ = gwas_input
+    inp = readers.read_input_z(path, all_snps=True)
+
+    ref = gauss_tpu.prep_zmix5(path, synpanel.files.index_file,
+                               synpanel.files.data_file,
+                               synpanel.files.pop_desc_file,
+                               percentile=0.5, interval=2)
+    got = ancestry.prep_zmix5_store(anc_store, inp, percentile=0.5,
+                                    interval=2)
+    np.testing.assert_allclose(got, ref, rtol=0, atol=0)
+
+    refs = gauss_tpu.prep_zmix5_sup(path, synpanel.files.index_file,
+                                    synpanel.files.data_file,
+                                    synpanel.files.pop_desc_file,
+                                    percentile=0.5, interval=2)
+    gots = ancestry.prep_zmix5_store(anc_store, inp, percentile=0.5,
+                                     interval=2, sup_level=True)
+    np.testing.assert_allclose(gots, refs, rtol=0, atol=0)
+
+    refz = gauss_tpu.zmix(path, synpanel.files.index_file,
+                          synpanel.files.data_file,
+                          synpanel.files.pop_desc_file,
+                          percentile=0.5, interval=2)
+    gotz = ancestry.zmix_store(anc_store, inp, percentile=0.5, interval=2)
+    np.testing.assert_allclose(gotz["Weight"], refz["Weight"],
+                               rtol=0, atol=0)
+
+
+def test_engine_ancestry_methods(synpanel, af_input, anc_store):
+    """GenomeEngine delegates: one store serves afmix AND zmix without a
+    second decode."""
+    from gauss_tpu.io import readers
+    from gauss_tpu.models.genome import GenomeEngine
+    eng = GenomeEngine(anc_store)
+    inp = readers.read_input_af(af_input)
+    res = eng.afmix(inp, interval=25)
+    assert (res["wgt"] > 0).all()
+    res2 = eng.cpw2(inp, interval=25)
+    assert (res2["wgt"] > 0).all()
