@@ -23,6 +23,12 @@ import jax as _jax
 
 _jax.config.update("jax_enable_x64", True)
 
+# GAUSS_TPU_PLATFORM overrides the backend choice (e.g. "cpu" for
+# multi-process CPU tests in containers whose sitecustomize pins a
+# platform list that shadows JAX_PLATFORMS).
+if _os.environ.get("GAUSS_TPU_PLATFORM"):
+    _jax.config.update("jax_platforms", _os.environ["GAUSS_TPU_PLATFORM"])
+
 # Persistent compilation cache: windowed analyses reuse a handful of
 # bucketed kernel shapes across processes; caching them makes every run
 # after the first start in seconds.  Opt out with GAUSS_TPU_NO_CC=1.

@@ -210,6 +210,11 @@ def main(argv=None):
     p.add_argument("--mesh", default=None, metavar="WxS",
                    help="run sharded over a (window x subject) device "
                         "mesh, e.g. 2x4 (needs W*S devices)")
+    p.add_argument("--multihost", action="store_true",
+                   help="stripe windows across jax.distributed processes "
+                        "(JAX_COORDINATOR_ADDRESS/JAX_NUM_PROCESSES/"
+                        "JAX_PROCESS_ID); each host runs its own ledger "
+                        "under run-dir/hostNNN, process 0 merges")
 
     args = ap.parse_args(argv)
 
@@ -364,6 +369,10 @@ def main(argv=None):
             # reference qcat/qcatmix default 0.05 (src/qcat.cpp:52-56);
             # everything else 0.01
             args.af1_cutoff = 0.05 if args.analysis == "qcat" else 0.01
+        if args.multihost:
+            # must precede any backend initialization
+            from gauss_tpu.parallel import distributed
+            distributed.initialize()
         if args.status:
             # read-only: never decode the panel or rewrite the manifest
             mpath = os.path.join(args.run_dir, MANIFEST)
@@ -411,13 +420,23 @@ def main(argv=None):
                 raise SystemExit("ERROR: --analysis jepeg needs "
                                  "--annotation-file")
             annot_df = readers.read_annotation(args.annotation_file)
-        runner = GenomeRunner(
-            args.run_dir, eng, inp, pop_wgt,
-            af1_cutoff=args.af1_cutoff, window_bp=args.window_bp,
-            wing_size=args.wing_size, chunk_bp=args.chunk_bp,
-            tracer=Tracer(verbose=True, log_file=args.trace_log),
-            panel_files=panel_files, analysis=args.analysis,
-            study_pop=args.study_pop, annot_df=annot_df)
+        def _make_runner(run_dir, lo=None, hi=None):
+            return GenomeRunner(
+                run_dir, eng, inp, pop_wgt,
+                af1_cutoff=args.af1_cutoff, window_bp=args.window_bp,
+                wing_size=args.wing_size, chunk_bp=args.chunk_bp,
+                tracer=Tracer(verbose=True, log_file=args.trace_log),
+                panel_files=panel_files, analysis=args.analysis,
+                study_pop=args.study_pop, annot_df=annot_df)
+        if args.multihost:
+            from gauss_tpu.parallel import distributed
+            df = distributed.run_genome_multihost(
+                _make_runner, args.chr, args.start_bp, args.end_bp,
+                args.window_bp, args.run_dir)
+            if df is not None:
+                _emit(df, args.output)
+            return
+        runner = _make_runner(args.run_dir)
         runner.plan(args.chr, args.start_bp, args.end_bp)
         stats = runner.run(resume=not args.restart)
         print(f"[gauss_tpu] chunks done={stats['done']} "

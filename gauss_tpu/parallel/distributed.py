@@ -95,3 +95,92 @@ def host_window_ranges(start_bp: int, end_bp: int, window_bp: int,
     lo = start_bp + lo_w * window_bp
     hi = min(end_bp, start_bp + hi_w * window_bp - 1)
     return (lo, hi)
+
+
+def process_info() -> Tuple[int, int]:
+    """(num_processes, process_id) of the running job (1, 0 when
+    jax.distributed was never initialized)."""
+    import jax
+    return jax.process_count(), jax.process_index()
+
+
+def barrier(name: str) -> None:
+    """Synchronize all processes (no-op single-process).  Rides the
+    cross-process collective transport (gloo on CPU, ICI/DCN on TPU)."""
+    import jax
+    if jax.process_count() == 1:
+        return
+    from jax.experimental import multihost_utils
+    multihost_utils.sync_global_devices(name)
+
+
+def host_run_dir(run_dir: str, process_id: Optional[int] = None) -> str:
+    """Per-host ledger directory under a shared run dir: hosts write
+    disjoint manifests/shards, so no cross-process file races."""
+    if process_id is None:
+        process_id = process_info()[1]
+    return os.path.join(run_dir, f"host{process_id:03d}")
+
+
+def run_genome_multihost(make_runner, chrom: int, start_bp: int,
+                         end_bp: int, window_bp: int, run_dir: str):
+    """Genome-scale run striped across hosts.
+
+    Windows are embarrassingly parallel (the reference's genome story IS
+    a user loop over windows, SURVEY.md section 2.3), so each host owns a
+    contiguous window block (host_window_ranges), runs its own
+    checkpointed GenomeRunner in ``run_dir/hostNNN`` -- decoding only its
+    own panel range in streaming mode -- and only result shards cross
+    host boundaries.  ``make_runner(host_dir, lo, hi)`` builds the
+    runner for one host's sub-range.
+
+    Returns the merged DataFrame on process 0, None elsewhere.
+    """
+    import pandas as pd
+
+    num, pid = process_info()
+    lo, hi = host_window_ranges(start_bp, end_bp, window_bp, num, pid)
+    if lo <= hi:
+        runner = make_runner(host_run_dir(run_dir, pid), lo, hi)
+        runner.plan(chrom, lo, hi)
+        stats = runner.run()
+        if stats["failed"]:
+            # surface per-host failures before the barrier so a wedged
+            # chunk doesn't look like a hang on the other hosts
+            import sys
+            print(f"[gauss_tpu] host {pid}: {stats['failed']} chunk(s) "
+                  "failed (see manifest)", file=sys.stderr)
+    barrier("gauss_tpu:genome_multihost")
+    if pid != 0:
+        return None
+    return collect_multihost(run_dir)
+
+
+def collect_multihost(run_dir: str):
+    """Concatenate every host's completed shards in genomic order."""
+    import json
+
+    import pandas as pd
+
+    frames = []
+    hosts = sorted(d for d in os.listdir(run_dir) if d.startswith("host"))
+    entries = []
+    for h in hosts:
+        mpath = os.path.join(run_dir, h, "manifest.json")
+        if not os.path.exists(mpath):
+            continue
+        with open(mpath) as fh:
+            man = json.load(fh)
+        for c in man.get("chunks", []):
+            if c["status"] != "done":
+                continue
+            key = f"{c['chrom']}_{c['start_bp']}_{c['end_bp']}"
+            entries.append((c["chrom"], c["start_bp"],
+                            os.path.join(run_dir, h, "results",
+                                         f"{key}.parquet")))
+    for _, _, path in sorted(entries):
+        if os.path.exists(path):
+            frames.append(pd.read_parquet(path))
+    if not frames:
+        return pd.DataFrame()
+    return pd.concat(frames, ignore_index=True)

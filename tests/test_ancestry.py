@@ -236,3 +236,72 @@ def test_engine_ancestry_methods(synpanel, af_input, anc_store):
     assert (res["wgt"] > 0).all()
     res2 = eng.cpw2(inp, interval=25)
     assert (res2["wgt"] > 0).all()
+
+
+# ---------------------------------------------------------------------------
+# Adversarial QP validation: exact support-enumeration oracle
+# ---------------------------------------------------------------------------
+
+def _simplex_qp_oracle(D, d, eps=1e-9):
+    """Exact minimizer of 1/2 w'Dw - d'w on the simplex by enumerating
+    supports: the optimum's free set solves the equality KKT system, so
+    the best primal-feasible candidate over all 2^n - 1 supports is the
+    global optimum (exhaustive; n <= ~12)."""
+    from itertools import combinations
+    n = len(d)
+    best_w, best_obj = None, np.inf
+    obj = lambda w: 0.5 * w @ D @ w - d @ w
+    for k in range(1, n + 1):
+        for S in combinations(range(n), k):
+            idx = np.asarray(S)
+            K = np.zeros((k + 1, k + 1))
+            K[:k, :k] = D[np.ix_(idx, idx)]
+            K[:k, k] = -1.0
+            K[k, :k] = 1.0
+            rhs = np.concatenate([d[idx], [1.0]])
+            try:
+                sol, *_ = np.linalg.lstsq(K, rhs, rcond=None)
+            except np.linalg.LinAlgError:
+                continue
+            w = np.zeros(n)
+            w[idx] = sol[:k]
+            if (w >= -eps).all() and abs(w.sum() - 1) < 1e-7:
+                w = np.clip(w, 0, None)
+                w = w / w.sum()
+                o = obj(w)
+                if o < best_obj:
+                    best_obj, best_w = o, w
+    return best_w, best_obj
+
+
+def test_qp_against_enumeration_oracle():
+    """Randomized adversarial cross-check incl. near-singular and
+    duplicate-column D (rank-deficient X'X happens when two panel
+    populations are nearly identical; reference quadprog handles it via
+    its own ridge conventions, we must not silently diverge)."""
+    rng = np.random.default_rng(23)
+    obj = lambda D, d, w: 0.5 * w @ D @ w - d @ w
+    cases = []
+    for trial in range(30):
+        n = int(rng.integers(3, 9))
+        rows = int(rng.integers(n + 1, 40))
+        A = rng.standard_normal((rows, n))
+        if trial % 3 == 1:
+            A[:, -1] = A[:, 0] + 1e-6 * rng.standard_normal(rows)  # dup col
+        D = A.T @ A + 1e-8 * np.eye(n)
+        d = A.T @ rng.standard_normal(rows)
+        cases.append((D, d))
+    # hand-built degenerate cases
+    x = np.array([1.0, 2.0, 3.0, 4.0])
+    cases.append((np.outer(x, x) + 1e-7 * np.eye(4), x.copy()))
+    cases.append((np.eye(3) * 1e-10 + 1e-10, np.zeros(3)))
+
+    for D, d in cases:
+        w = solve_simplex_qp(D, d)
+        assert w.sum() == pytest.approx(1.0, abs=1e-8)
+        assert (w >= -1e-10).all()
+        w_ref, obj_ref = _simplex_qp_oracle(D, d)
+        assert w_ref is not None
+        scale = max(1.0, abs(obj_ref))
+        assert obj(D, d, w) <= obj_ref + 1e-7 * scale, (
+            f"solver obj {obj(D, d, w)} > oracle obj {obj_ref}")
