@@ -761,66 +761,100 @@ class PreparedRun:
             "type": tt["type"].to_numpy(),
         })
 
-    def impute_region(self, start_bp: int, end_bp: int,
-                      window_bp: int = 1_000_000,
-                      wing_size: int = 500_000) -> pd.DataFrame:
-        """Tile [start_bp, end_bp] with non-overlapping prediction windows
-        (plus wings) and impute them all.
-
-        On the device path all windows are dispatched asynchronously
-        before any result is fetched, so the per-call host-link latency
-        overlaps with device compute instead of serializing with it.
-        """
+    def _region_batch(self, start_bp: int, end_bp: int, window_bp: int,
+                      wing_size: int):
+        """Plans + padded batch inputs + compiled kernel for the
+        one-dispatch region scan, or None when no window clears the
+        minimum counts.  Shared by impute_region and the bench's
+        kernel-only timing probe."""
         spans = []
         lo = start_bp
         while lo <= end_bp:
             hi = min(lo + window_bp - 1, end_bp)
             spans.append((lo, hi))
             lo = hi + 1
+        plans = []
+        for lo, hi in spans:
+            plan = self._window_plan(lo, hi, wing_size)
+            if plan is not None:
+                plans.append((lo, hi, plan))
+        if not plans:
+            return None
+        Mp = max(p[2][4] for p in plans)
+        Up = max(p[2][5] for p in plans)
+        W = len(plans)
+        mesh = self.engine.mesh
+        n_win = 1 if mesh is None else mesh.shape["window"]
+        # W must split evenly over the window axis AND each shard's
+        # slice must divide by the scan batch width
+        Wp = _round_up(W, self.engine.window_bucket * n_win)
+        zcol = self.table["z"].to_numpy()
+        m_idx = np.zeros((Wp, Mp), dtype=np.int32)
+        u_idx = np.zeros((Wp, Up), dtype=np.int32)
+        Z1b = np.zeros((Wp, Mp))
+        m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+        u_maskb = np.zeros((Wp, Up), dtype=np.float32)
+        for i, (_, _, plan) in enumerate(plans):
+            m_rows, u_rows, M, U, *_ = plan
+            m_idx[i, :M] = self.g_row[m_rows]
+            u_idx[i, :U] = self.g_row[u_rows]
+            Z1b[i, :M] = zcol[m_rows]
+            m_maskb[i, :M] = 1.0
+            u_maskb[i, :U] = 1.0
+        if mesh is not None:
+            panel, fn = self._mesh_fn("region")
+        else:
+            panel = self._device_panel()
+            fn = self.engine._region_fn(self.pop_sizes, self.wgts)
+        return plans, (m_idx, u_idx, Z1b, m_maskb, u_maskb), panel, fn
 
+    def region_kernel_seconds(self, start_bp: int, end_bp: int,
+                              window_bp: int = 1_000_000,
+                              wing_size: int = 500_000,
+                              repeats: int = 3):
+        """Bench instrumentation: median seconds for ONE region-kernel
+        execution, synchronized by fetching an on-device scalar (a
+        host fetch of the full output would measure the host link, and
+        block_until_ready is unreliable over tunneled transports).
+        Includes one dispatch round trip; excludes host batch build and
+        output assembly.  Returns (seconds, plans)."""
+        import time as _time
+        batch = self._region_batch(start_bp, end_bp, window_bp, wing_size)
+        if batch is None:
+            return None, []
+        plans, inputs, panel, fn = batch
+        sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.float32))
+                       + jnp.sum(b.astype(jnp.float32)))
+        times = []
+        for _ in range(repeats):
+            t0 = _time.time()
+            z, info = fn(panel, *inputs)
+            float(sync(z, info))
+            times.append(_time.time() - t0)
+        return sorted(times)[len(times) // 2], plans
+
+    def impute_region(self, start_bp: int, end_bp: int,
+                      window_bp: int = 1_000_000,
+                      wing_size: int = 500_000) -> pd.DataFrame:
+        """Tile [start_bp, end_bp] with non-overlapping prediction windows
+        (plus wings) and impute them all.
+
+        On the device path all windows of the region run as ONE
+        on-device scan (build_region_kernel) at a unified bucketed
+        (Mp, Up) shape: a single index upload + launch + z/info fetch
+        for the whole region instead of one round trip per window --
+        the host link, not the compute, is the bottleneck on tunneled
+        devices.  A unified shape also avoids fragmenting the batch
+        into per-shape groups that each pay window_bucket padding.
+        """
         frames = []
         if self.engine.device_linalg:
-            # All windows of the region run as ONE on-device scan
-            # (build_region_kernel) at a unified bucketed (Mp, Up) shape:
-            # a single index upload + launch + z/info fetch for the whole
-            # region instead of one round trip per window -- the host
-            # link, not the compute, is the bottleneck on tunneled
-            # devices.  A unified shape also avoids fragmenting the batch
-            # into per-shape groups that each pay window_bucket padding.
-            plans = []
-            for lo, hi in spans:
-                plan = self._window_plan(lo, hi, wing_size)
-                if plan is not None:
-                    plans.append((lo, hi, plan))
-            if plans:
-                Mp = max(p[2][4] for p in plans)
-                Up = max(p[2][5] for p in plans)
-                W = len(plans)
-                mesh = self.engine.mesh
-                n_win = 1 if mesh is None else mesh.shape["window"]
-                # W must split evenly over the window axis AND each
-                # shard's slice must divide by the scan batch width
-                Wp = _round_up(W, self.engine.window_bucket * n_win)
+            batch = self._region_batch(start_bp, end_bp, window_bp,
+                                       wing_size)
+            if batch is not None:
+                plans, inputs, panel, fn = batch
                 t = self.table
-                zcol = t["z"].to_numpy()
-                m_idx = np.zeros((Wp, Mp), dtype=np.int32)
-                u_idx = np.zeros((Wp, Up), dtype=np.int32)
-                Z1b = np.zeros((Wp, Mp))
-                m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
-                u_maskb = np.zeros((Wp, Up), dtype=np.float32)
-                for i, (_, _, plan) in enumerate(plans):
-                    m_rows, u_rows, M, U, *_ = plan
-                    m_idx[i, :M] = self.g_row[m_rows]
-                    u_idx[i, :U] = self.g_row[u_rows]
-                    Z1b[i, :M] = zcol[m_rows]
-                    m_maskb[i, :M] = 1.0
-                    u_maskb[i, :U] = 1.0
-                if mesh is not None:
-                    panel, fn = self._mesh_fn("region")
-                else:
-                    panel = self._device_panel()
-                    fn = self.engine._region_fn(self.pop_sizes, self.wgts)
-                z, info = fn(panel, m_idx, u_idx, Z1b, m_maskb, u_maskb)
+                z, info = fn(panel, *inputs)
                 for a in (z, info):
                     try:
                         a.copy_to_host_async()
