@@ -92,6 +92,35 @@ def main():
     log(f"[bench] imputed {n_imputed} SNPs in {elapsed:.2f}s (median of "
         f"{[f'{x:.2f}' for x in times]}) -> {rate:.1f} SNPs/s/chip")
 
+    # roofline: kernel-only timing via an on-device scalar fetch (the
+    # only reliable sync over tunneled transports), priced against the
+    # kernel's actual int8 MXU work.  This separates compute from the
+    # dispatch/fetch/assembly overhead baked into the headline rate.
+    k_sec, plans = run.region_kernel_seconds(lo, hi, window_bp=WINDOW_BP,
+                                             wing_size=WING_BP)
+    if k_sec is not None:
+        Mp = max(p[2][4] for p in plans)
+        Up = max(p[2][5] for p in plans)
+        from gauss_tpu.models.genome import _round_up
+        Wp = _round_up(len(plans), engine.window_bucket)
+        spec = engine._spec(run.pop_sizes, run.wgts)
+        S = int(np.sum(spec.pop_sizes_padded))
+        # per window: per-pop int8 Grams C_mm [Mp,Mp] + C_um [Up,Mp]
+        # contract the full (padded) subject axis (window_kernel.py
+        # _int8_weighted_stats); solves are O(Mp^3) f32, negligible next
+        # to the S~33k reduction. 2 ops per MAC.
+        macs = Wp * (Mp * Mp + Up * Mp) * S
+        tops = 2 * macs / k_sec / 1e12
+        V5E_INT8_TOPS = 394.0
+        log(f"[bench] region kernel only: {k_sec*1e3:.1f} ms for Wp={Wp} "
+            f"windows (Mp={Mp}, Up={Up}, S={S})")
+        log(f"[bench] kernel int8 work {2*macs/1e12:.2f} Tops -> "
+            f"{tops:.1f} TOPS achieved = {100*tops/V5E_INT8_TOPS:.1f}% of "
+            f"v5e int8 roofline ({V5E_INT8_TOPS:.0f} TOPS)")
+        log(f"[bench] dispatch/fetch/assembly overhead in headline: "
+            f"{elapsed - k_sec:.2f}s of {elapsed:.2f}s "
+            f"({100*(elapsed-k_sec)/elapsed:.0f}%)")
+
     # secondary: ancestry-weighted LD throughput (computeLD windows)
     t = time.time()
     lds = run.ld_region(lo, hi, window_bp=WINDOW_BP)

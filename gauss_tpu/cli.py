@@ -442,6 +442,18 @@ def main(argv=None):
         print(f"[gauss_tpu] chunks done={stats['done']} "
               f"failed={stats['failed']} skipped={stats['skipped']}",
               file=sys.stderr)
+        if stats["failed"]:
+            first = next(c for c in runner.chunks.values()
+                         if c.status == "failed")
+            print(f"[gauss_tpu] first failure ({first.key}): "
+                  f"{(first.error or '').splitlines()[0]}", file=sys.stderr)
+        if stats["done"] + stats["skipped"] == 0:
+            # a genome run where EVERY chunk failed must not silently
+            # emit an empty file and exit 0 (reference analog: fail-fast
+            # Rcpp::stop, /root/reference/src/dist.cpp:145-151)
+            raise SystemExit(
+                "ERROR: every chunk failed; no output written "
+                f"(see {args.run_dir}/manifest.json for per-chunk errors)")
         _emit(runner.collect(), args.output)
 
 

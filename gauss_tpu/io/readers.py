@@ -162,14 +162,22 @@ def init_pop_flags(desc: PopDesc, study_pop: str) -> np.ndarray:
     return np.array([1 if p == study_pop else 0 for p in ref], dtype=np.int8)
 
 
-def init_pop_flag_wgts(desc: PopDesc, pop_wgt: Dict[str, float]):
+def init_pop_flag_wgts(desc: PopDesc, pop_wgt: Dict[str, float],
+                       strict: bool = False):
     """Flags + aligned weights for cosmopolitan analyses
     (reference: init_pop_flag_wgt_vec, src/gauss.cpp:1093-1117).
 
     ``pop_wgt`` keys are upper-cased population abbreviations.  Returns
     (flags[num_pops] int8, weights[num_selected] float64) where weights
     follow panel population order restricted to flagged pops.
+
+    Weight names absent from the panel are IGNORED by the reference
+    (src/gauss.cpp:1093-1117 has no unknown-name branch -- e.g. 33KG
+    afmix weights feed a 1KG panel without error; only the homogeneous
+    study-pop reader aborts, src/gauss.cpp:1047-1050).  Default matches
+    that but warns; ``strict=True`` upgrades unknown names to an error.
     """
+    import warnings
     flags = np.zeros(desc.num_pops, dtype=np.int8)
     wgts: List[float] = []
     for i, p in enumerate(desc.pops):
@@ -178,10 +186,12 @@ def init_pop_flag_wgts(desc: PopDesc, pop_wgt: Dict[str, float]):
             wgts.append(float(pop_wgt[p]))
     unknown = set(pop_wgt) - set(desc.pops)
     if unknown:
-        # reference aborts on a bad population name (src/gauss.cpp:1047-1050)
-        raise ValueError(
-            f"ERROR: invalid population name(s) {sorted(unknown)}; panel "
-            f"populations are {list(desc.pops)}")
+        msg = (f"population weight name(s) {sorted(unknown)} not in the "
+               f"panel (pops: {list(desc.pops)})")
+        if strict:
+            raise ValueError("ERROR: invalid " + msg)
+        warnings.warn(msg + "; ignored (reference semantics, "
+                      "src/gauss.cpp:1093-1117)", RuntimeWarning)
     if not wgts:
         raise ValueError("ERROR: pop_wgt selects no panel populations")
     return flags, np.asarray(wgts, dtype=np.float64)
@@ -210,7 +220,14 @@ def pop_wgt_map_from_df(pop_wgt_df: pd.DataFrame) -> Dict[str, float]:
 
 def read_annotation(path: str) -> pd.DataFrame:
     """Read SNP annotation (reference: ReadAnnotation,
-    src/gauss.cpp:1275-1361).  Returns one row per (snp, category)."""
+    src/gauss.cpp:1275-1361).  Returns one row per (snp, category).
+
+    DOCUMENTED DEVIATION: the reference's category mapping
+    (src/gauss.cpp:1319-1330) has no else branch, so an unknown category
+    string silently reuses the PREVIOUS row's categ_num -- an
+    uninitialized-read bug, not a behavior worth reproducing.  We drop
+    such rows with a warning instead of crashing (or corrupting)."""
+    import warnings
     df = pd.read_csv(
         path,
         sep=r"\s+",
@@ -222,4 +239,12 @@ def read_annotation(path: str) -> pd.DataFrame:
                "a2": str, "geneid": str, "categ": str, "wgt": np.float64},
     )
     df["categ_num"] = df["categ"].map(CATEG_NUM).astype("Int64")
+    bad = df["categ_num"].isna()
+    if bad.any():
+        warnings.warn(
+            f"annotation file has {int(bad.sum())} row(s) with unknown "
+            f"category {sorted(df.loc[bad, 'categ'].unique())}; skipped "
+            "(the reference would reuse the previous row's category, "
+            "src/gauss.cpp:1319-1330)", RuntimeWarning)
+        df = df[~bad].reset_index(drop=True)
     return df

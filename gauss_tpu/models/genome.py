@@ -890,10 +890,13 @@ class PreparedRun:
                     "type": tt["type"].to_numpy(),
                 }))
         else:
-            for lo, hi in spans:
+            lo = start_bp
+            while lo <= end_bp:
+                hi = min(lo + window_bp - 1, end_bp)
                 r = self.impute_window(lo, hi, wing_size)
                 if r is not None:
                     frames.append(r.table)
+                lo = hi + 1
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)

@@ -325,7 +325,11 @@ class GenomeRunner:
 
     # -- results ----------------------------------------------------------
     def collect(self) -> pd.DataFrame:
-        """Concatenate all completed chunk shards in genomic order."""
+        """Concatenate all completed chunk shards in genomic order.
+        A done chunk whose shard file vanished is a hole in the output,
+        not a normal condition -- warn loudly instead of silently
+        emitting a shorter result."""
+        import warnings
         frames = []
         for cs in sorted(self.chunks.values(),
                          key=lambda c: (c.chrom, c.start_bp)):
@@ -333,6 +337,12 @@ class GenomeRunner:
                 path = self._result_path(cs)
                 if os.path.exists(path):
                     frames.append(pd.read_parquet(path))
+                else:
+                    warnings.warn(
+                        f"chunk {cs.key} is marked done but its result "
+                        f"shard is missing ({path}); output will have a "
+                        "hole -- rerun with resume after deleting the "
+                        "chunk from the manifest", RuntimeWarning)
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)

@@ -140,6 +140,7 @@ def run_genome_multihost(make_runner, chrom: int, start_bp: int,
 
     num, pid = process_info()
     lo, hi = host_window_ranges(start_bp, end_bp, window_bp, num, pid)
+    all_failed_msg = None
     if lo <= hi:
         runner = make_runner(host_run_dir(run_dir, pid), lo, hi)
         runner.plan(chrom, lo, hi)
@@ -150,7 +151,19 @@ def run_genome_multihost(make_runner, chrom: int, start_bp: int,
             import sys
             print(f"[gauss_tpu] host {pid}: {stats['failed']} chunk(s) "
                   "failed (see manifest)", file=sys.stderr)
+        if stats["done"] + stats["skipped"] == 0:
+            first = next((c for c in runner.chunks.values()
+                          if c.status == "failed"), None)
+            detail = ((first.error or "").splitlines()[0]
+                      if first is not None else "no chunks planned")
+            all_failed_msg = (
+                f"host {pid}: every chunk failed; merging would emit "
+                f"silence for [{lo}, {hi}] (first error: {detail})")
+    # hit the barrier even on total failure so the other hosts don't
+    # hang, THEN raise loudly instead of contributing empty results
     barrier("gauss_tpu:genome_multihost")
+    if all_failed_msg is not None:
+        raise RuntimeError(all_failed_msg)
     if pid != 0:
         return None
     return collect_multihost(run_dir)
@@ -181,6 +194,11 @@ def collect_multihost(run_dir: str):
     for _, _, path in sorted(entries):
         if os.path.exists(path):
             frames.append(pd.read_parquet(path))
+        else:
+            import warnings
+            warnings.warn(
+                f"multihost merge: chunk marked done but shard missing "
+                f"({path}); merged output will have a hole", RuntimeWarning)
     if not frames:
         return pd.DataFrame()
     return pd.concat(frames, ignore_index=True)

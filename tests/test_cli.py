@@ -184,3 +184,65 @@ def test_cli_genome_jepeg_and_dist_modes(synpanel, gwas_input, region,
                   "--end-bp", str(hi), "--study-pop", "EUR",
                   "--pop-wgt-file", "x.tsv", "--input-file", path,
                   "--run-dir", str(tmp_path / "rx")] + _ref_argv(synpanel))
+
+
+def test_cli_genome_all_failed_exits_nonzero(synpanel, gwas_input, region,
+                                             tmp_path, monkeypatch, capsys):
+    """A run where EVERY chunk fails must exit non-zero with the first
+    error on stderr, not write an empty TSV and exit 0 (reference
+    analog: fail-fast Rcpp::stop, src/dist.cpp:145-151)."""
+    from gauss_tpu.models import genome as genome_mod
+
+    def _boom(self, *a, **k):
+        raise RuntimeError("synthetic chunk failure")
+
+    monkeypatch.setattr(genome_mod.PreparedRun, "impute_region", _boom)
+    path, _ = gwas_input
+    lo, hi = region
+    wgt_file = tmp_path / "wgt.tsv"
+    pd.DataFrame({"pop": ["AAA", "BBB"], "wgt": [0.5, 0.5]}).to_csv(
+        wgt_file, sep="\t", index=False)
+    out = tmp_path / "empty.tsv"
+    argv = ["impute-genome", "--chr", "22", "--start-bp", str(lo),
+            "--end-bp", str(hi), "--pop-wgt-file", str(wgt_file),
+            "--input-file", path,
+            "--chunk-bp", str(hi - lo + 1),
+            "--run-dir", str(tmp_path / "rfail")] + _ref_argv(synpanel) \
+        + ["-o", str(out)]
+    with pytest.raises(SystemExit) as ei:
+        cli.main(argv)
+    assert ei.value.code not in (0, None)
+    assert "every chunk failed" in str(ei.value.code)
+    cap = capsys.readouterr()
+    assert "synthetic chunk failure" in cap.err
+    assert not out.exists()
+
+
+def test_runner_collect_warns_on_missing_shard(synpanel, gwas_input,
+                                               region, tmp_path):
+    """A done chunk whose parquet shard vanished must warn, not
+    silently shorten the output."""
+    import os
+    from gauss_tpu.io import readers
+    from gauss_tpu.models.genome import GenomeEngine, PanelStore
+    from gauss_tpu.models.runner import GenomeRunner
+    path, _ = gwas_input
+    lo, hi = region
+    store = PanelStore.from_bgzf(synpanel.files)
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=hi - lo)
+    eng = GenomeEngine(store, device_linalg=False)
+    runner = GenomeRunner(str(tmp_path / "run"), eng, inp,
+                          {"AAA": 0.5, "BBB": 0.5},
+                          window_bp=hi - lo + 1, wing_size=hi - lo,
+                          chunk_bp=hi - lo + 1)
+    runner.plan(22, lo, hi)
+    stats = runner.run()
+    assert stats["done"] >= 1
+    shard = next(
+        p for p in (tmp_path / "run" / "results").iterdir()
+        if p.suffix == ".parquet")
+    os.unlink(shard)
+    with pytest.warns(RuntimeWarning, match="shard is missing"):
+        df = runner.collect()
+    assert len(df) == 0
