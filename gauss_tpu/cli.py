@@ -129,6 +129,39 @@ def main(argv=None):
         p.add_argument("--annotation-file", required=True)
         p.add_argument("--af1-cutoff", type=float, default=None)
 
+    # prep_* exports (reference: src/RcppExports.cpp:16-355) -- the raw
+    # regression/imputation ingredients at the user level
+    for name in ("prep-zmix", "prep-zmix2", "prep-zmix3", "prep-zmix4",
+                 "prep-zmix5", "prep-zmix5-sup"):
+        p = sub.add_parser(
+            name, help="Z-based ancestry regression dataset (matrix TSV)")
+        _ref_args(p, window=False)
+        if name in ("prep-zmix5", "prep-zmix5-sup"):
+            p.add_argument("--percentile", type=float, default=None)
+        p.add_argument("--interval", type=int, default=None)
+        if name in ("prep-zmix2", "prep-zmix4"):
+            p.add_argument("--offset", type=int, default=None)
+        if name == "prep-zmix3":
+            p.add_argument("--steps", type=int, default=None)
+
+    p = sub.add_parser("prep-qcat",
+                       help="raw QCAT ingredients (snplist TSV + npz with "
+                            "z_vec/cor_mat1/cor_mat2)")
+    _ref_args(p, window=True, pop="study")
+    p.add_argument("--wing-size", type=int, required=True)
+    p.add_argument("--af1-cutoff", type=float, default=None)
+    p.add_argument("--npz-out", required=True,
+                   help="output .npz for z_vec, cor_mat1, cor_mat2")
+
+    p = sub.add_parser("prep-recessive-impute",
+                       help="imputation prep under add/dom/rec codings "
+                            "(snplist TSV + npz with zvec + 4 cormats)")
+    _ref_args(p, window=True, pop="wgt")
+    p.add_argument("--wing-size", type=int, required=True)
+    p.add_argument("--af1-cutoff", type=float, default=None)
+    p.add_argument("--npz-out", required=True,
+                   help="output .npz for zvec, cormat, cormat_add/dom/rec")
+
     p = sub.add_parser("fiqt")
     p.add_argument("--input-file", required=True,
                    help="text file with a z column (or single column)")
@@ -297,6 +330,40 @@ def main(argv=None):
                                     args.input_file, args.annotation_file,
                                     **ref, af1_cutoff=args.af1_cutoff)
         _emit(df, args.output)
+    elif args.cmd.startswith("prep-zmix"):
+        fn = getattr(gauss_tpu, args.cmd.replace("-", "_"))
+        kwargs = {"interval": args.interval}
+        if args.cmd in ("prep-zmix5", "prep-zmix5-sup"):
+            kwargs["percentile"] = args.percentile
+        if args.cmd in ("prep-zmix2", "prep-zmix4"):
+            kwargs["offset"] = args.offset
+        if args.cmd == "prep-zmix3":
+            kwargs["steps"] = args.steps
+        mat = fn(args.input_file, **ref, **kwargs)
+        if args.output == "-":
+            np.savetxt(sys.stdout, mat, fmt="%.10g", delimiter="\t")
+        else:
+            _emit_matrix(mat, args.output)
+    elif args.cmd == "prep-qcat":
+        res = gauss_tpu.prep_qcat(
+            args.chr, args.start_bp, args.end_bp, args.wing_size,
+            args.study_pop, args.input_file, **ref,
+            af1_cutoff=args.af1_cutoff)
+        _emit(res["snplist"], args.output)
+        np.savez_compressed(args.npz_out, z_vec=res["z_vec"],
+                            cor_mat1=res["cor_mat1"],
+                            cor_mat2=res["cor_mat2"])
+    elif args.cmd == "prep-recessive-impute":
+        res = gauss_tpu.prep_recessive_impute(
+            args.chr, args.start_bp, args.end_bp, args.wing_size,
+            _read_pop_wgt(args.pop_wgt_file), args.input_file, **ref,
+            af1_cutoff=args.af1_cutoff)
+        _emit(res["snplist"], args.output)
+        np.savez_compressed(args.npz_out, zvec=res["zvec"],
+                            cormat=res["cormat"],
+                            cormat_add=res["cormat_add"],
+                            cormat_dom=res["cormat_dom"],
+                            cormat_rec=res["cormat_rec"])
     elif args.cmd == "fiqt":
         df = pd.read_csv(args.input_file, sep=r"\s+")
         zcol = "z" if "z" in df.columns else df.columns[-1]

@@ -246,3 +246,60 @@ def test_runner_collect_warns_on_missing_shard(synpanel, gwas_input,
     with pytest.warns(RuntimeWarning, match="shard is missing"):
         df = runner.collect()
     assert len(df) == 0
+
+
+def test_cli_prep_exports(synpanel, gwas_input, region, tmp_path):
+    """Every prep_* export has a CLI surface (reference exports them
+    all at the user level, src/RcppExports.cpp:16-355)."""
+    import numpy as np
+    path, _ = gwas_input
+    lo, hi = region
+    n_pops = len(synpanel.desc.pops)
+
+    # prep-zmix family -> matrix TSVs with the documented column counts
+    for name, extra, ncols in [
+            ("prep-zmix", ["--interval", "2"], 1 + n_pops),
+            ("prep-zmix2", ["--interval", "7", "--offset", "2"], 1 + n_pops),
+            ("prep-zmix3", ["--interval", "5", "--steps", "2"], 1 + n_pops),
+            ("prep-zmix4", ["--interval", "7", "--offset", "2"], 2 + n_pops),
+            ("prep-zmix5", ["--interval", "2", "--percentile", "0.5"],
+             1 + n_pops),
+            ("prep-zmix5-sup", ["--interval", "2", "--percentile", "0.5"],
+             1 + len(synpanel.desc.sup_pop_order())),
+    ]:
+        out = tmp_path / f"{name}.tsv"
+        cli.main([name, "--input-file", path] + _ref_argv(synpanel)
+                 + extra + ["-o", str(out)])
+        mat = np.loadtxt(out)
+        assert mat.ndim == 2 and mat.shape[1] == ncols and len(mat) > 0, name
+
+    # prep-qcat -> snplist TSV + npz
+    out = tmp_path / "pq.tsv"
+    npz = tmp_path / "pq.npz"
+    cli.main(["prep-qcat", "--chr", "22", "--start-bp", str(lo),
+              "--end-bp", str(hi), "--wing-size", str(hi - lo),
+              "--study-pop", "EUR", "--input-file", path]
+             + _ref_argv(synpanel) + ["-o", str(out), "--npz-out", str(npz)])
+    snl = pd.read_csv(out, sep="\t")
+    with np.load(npz) as d:
+        assert d["cor_mat1"].shape[0] == len(d["z_vec"])
+        assert d["cor_mat2"].shape[1] == len(d["z_vec"])
+    assert len(snl) > 0
+
+    # prep-recessive-impute -> snplist TSV + npz with 4 cormats
+    wgt_file = tmp_path / "wgt.tsv"
+    pd.DataFrame({"pop": synpanel.desc.pops[:2], "wgt": [0.5, 0.5]}).to_csv(
+        wgt_file, sep="\t", index=False)
+    out2 = tmp_path / "pr.tsv"
+    npz2 = tmp_path / "pr.npz"
+    cli.main(["prep-recessive-impute", "--chr", "22", "--start-bp", str(lo),
+              "--end-bp", str(hi), "--wing-size", str(hi - lo),
+              "--pop-wgt-file", str(wgt_file), "--input-file", path]
+             + _ref_argv(synpanel) + ["-o", str(out2), "--npz-out",
+                                      str(npz2)])
+    snl2 = pd.read_csv(out2, sep="\t")
+    with np.load(npz2) as d:
+        M = len(d["zvec"])
+        assert d["cormat"].shape == (M, M)
+        for k in ("cormat_add", "cormat_dom", "cormat_rec"):
+            assert d[k].shape == (len(snl2), M)
