@@ -122,6 +122,7 @@ class GenomeRunner:
         self.annot_df = annot_df
         self.chunks: Dict[str, ChunkState] = {}
         self._run = None
+        self._prefetch: Dict[str, object] = {}
         os.makedirs(os.path.join(run_dir, "results"), exist_ok=True)
         self._load_manifest()
 
@@ -203,16 +204,25 @@ class GenomeRunner:
         return self.engine.prepare_homog(self.input_df, self.study_pop,
                                          af1_cutoff=self.af1_cutoff)
 
+    def _decode_chunk_store(self, cs: ChunkState) -> PanelStore:
+        return PanelStore.from_bgzf(
+            self.panel_files, chrom=cs.chrom,
+            start_bp=cs.start_bp - self.wing_size,
+            end_bp=cs.end_bp + self.wing_size)
+
     def _prepared(self, cs: Optional[ChunkState] = None):
         if self.panel_files is not None and cs is not None:
             # streaming: decode this chunk's panel range (plus wings)
             # and prepare against it; the engine's compiled kernels are
-            # shape-keyed, so they carry over between chunks.
-            with self.tracer.phase("decode_chunk", key=cs.key):
-                self.engine.store = PanelStore.from_bgzf(
-                    self.panel_files, chrom=cs.chrom,
-                    start_bp=cs.start_bp - self.wing_size,
-                    end_bp=cs.end_bp + self.wing_size)
+            # shape-keyed, so they carry over between chunks.  run()
+            # prefetches the NEXT chunk's decode on a worker thread
+            # while this chunk computes (zlib/numpy release the GIL),
+            # so on all but the first chunk the future is already done.
+            fut = self._prefetch.pop(cs.key, None)
+            with self.tracer.phase("decode_chunk", key=cs.key,
+                                   prefetched=fut is not None):
+                self.engine.store = (fut.result() if fut is not None
+                                     else self._decode_chunk_store(cs))
             with self.tracer.phase("prepare_chunk", key=cs.key):
                 return self._prepare_engine()
         if self._run is None:
@@ -234,10 +244,37 @@ class GenomeRunner:
             for cs in self.chunks.values():
                 cs.status = "pending"
                 cs.error = None
+        queue = []
         for cs in list(self.chunks.values()):
             if cs.status == "done" and resume:
                 stats["skipped"] += 1
-                continue
+            else:
+                queue.append(cs)
+        # streaming mode: decode chunk N+1's panel on a worker thread
+        # while chunk N computes on the device (zlib/numpy inflate
+        # releases the GIL, so decode and device compute overlap)
+        self._prefetch = {}
+        executor = None
+        if self.panel_files is not None and len(queue) > 1:
+            import concurrent.futures
+            executor = concurrent.futures.ThreadPoolExecutor(
+                max_workers=1, thread_name_prefix="gauss-prefetch")
+        try:
+            self._run_queue(queue, stats, executor, max_failures)
+        finally:
+            if executor is not None:
+                executor.shutdown(wait=False, cancel_futures=True)
+            self._prefetch = {}
+        return stats
+
+    def _run_queue(self, queue, stats, executor,
+                   max_failures: Optional[int]) -> None:
+        for qi, cs in enumerate(queue):
+            if executor is not None and qi + 1 < len(queue):
+                nxt = queue[qi + 1]
+                if nxt.key not in self._prefetch:
+                    self._prefetch[nxt.key] = executor.submit(
+                        self._decode_chunk_store, nxt)
             t0 = time.time()
             try:
                 with self.tracer.phase("chunk", key=cs.key):
@@ -277,7 +314,6 @@ class GenomeRunner:
                     raise
             cs.elapsed = time.time() - t0
             self._save_manifest()
-        return stats
 
     def _ld_matrix_path(self, cs: ChunkState) -> str:
         return os.path.join(self.run_dir, "results", f"{cs.key}_cormat.npz")

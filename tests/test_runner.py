@@ -301,3 +301,26 @@ def test_runner_rejects_bad_pop_mode(tmp_path, setup):
     with pytest.raises(ValueError, match="pop_wgt"):
         GenomeRunner(str(tmp_path / "w"), eng, inp, study_pop="EUR",
                      analysis="ld")
+
+
+def test_streaming_prefetch_overlaps_decode(tmp_path, setup):
+    """In streaming mode, chunk N+1's panel decode runs on a worker
+    thread while chunk N computes: the trace must show the later
+    chunks' decode_chunk phases as prefetched (already-resolved
+    futures) and the results must be identical to the non-prefetched
+    path (covered by test_streaming_matches_resident)."""
+    from gauss_tpu.utils.timing import Tracer
+    _, inp, pop_wgt, panel_files = setup[:4]
+    tr = Tracer()
+    eng = GenomeEngine(None, snp_bucket=64, device_linalg=True)
+    r = GenomeRunner(str(tmp_path / "pf"), eng, inp, pop_wgt,
+                     window_bp=600_000, wing_size=200_000,
+                     chunk_bp=600_000, panel_files=panel_files, tracer=tr)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+    stats = r.run()
+    assert stats["failed"] == 0 and stats["done"] >= 2
+    decodes = [p for p in tr.phases if p.name.endswith("decode_chunk")]
+    assert len(decodes) == stats["done"]
+    assert decodes[0].meta["prefetched"] is False   # nothing to overlap yet
+    assert all(p.meta["prefetched"] for p in decodes[1:])
+    assert r._prefetch == {}                        # cleaned up
