@@ -130,6 +130,194 @@ def gene_corr_matrices(
     return out
 
 
+def _corr_from_pop_partials(C, S, Q, true_sizes, wgts):
+    """Gene correlation matrices from stacked per-pop partial statistics
+    C [P, B, n, n] / S [P, B, n] / Q [P, B, n] (exact integers in f32).
+
+    The f64 accumulation loops populations in the same order as
+    _batched_weighted_corr, so the unsharded path is bit-identical to it
+    and the sharded path (psum'd partials, which are exact integer sums)
+    matches to the last bit as well."""
+    if wgts is None:
+        n = float(sum(int(x) for x in true_sizes))
+        C0 = jnp.sum(C, axis=0).astype(jnp.float64)
+        s64 = jnp.sum(S, axis=0).astype(jnp.float64)
+        q64 = jnp.sum(Q, axis=0).astype(jnp.float64)
+        numer = n * C0 - s64[:, :, None] * s64[:, None, :]
+        d = jnp.sqrt(n * q64 - s64 * s64)
+        return numer / (d[:, :, None] * d[:, None, :])
+    m = np.asarray(true_sizes, dtype=np.float64)
+    w = np.asarray(wgts, dtype=np.float64)
+    factor = m / (m - 1.0)
+    B, n = C.shape[1], C.shape[2]
+    cov = jnp.zeros((B, n, n), dtype=jnp.float64)
+    mimj = jnp.zeros((B, n, n), dtype=jnp.float64)
+    mi = jnp.zeros((B, n), dtype=jnp.float64)
+    var = jnp.zeros((B, n), dtype=jnp.float64)
+    vmimj = jnp.zeros((B, n), dtype=jnp.float64)
+    vmi = jnp.zeros((B, n), dtype=jnp.float64)
+    for k in range(len(m)):
+        Ck = C[k].astype(jnp.float64)
+        s = S[k].astype(jnp.float64)
+        q = Q[k].astype(jnp.float64)
+        cov = cov + (w[k] * factor[k]) * (
+            m[k] * Ck - s[:, :, None] * s[:, None, :])
+        mimj = mimj + (w[k] * (s / m[k]))[:, :, None] * (s / m[k])[:, None, :]
+        mi = mi + w[k] * (s / m[k])
+        var = var + (w[k] * factor[k]) * (m[k] * q - s * s)
+        vmimj = vmimj + (w[k] * (s / m[k])) * (s / m[k])
+        vmi = vmi + w[k] * (s / m[k])
+    cov = (cov + mimj) - mi[:, :, None] * mi[:, None, :]
+    v = (var + vmimj) - vmi * vmi
+    std = jnp.sqrt(v)
+    return cov / (std[:, :, None] * std[:, None, :])
+
+
+def _gene_stats_body(G_dev, idx, Wb, zb, bounds, true_sizes, wgts, lam,
+                     valid=None, psum=None):
+    """Shared core: gather gene rows, per-pop partial stats (psum-able
+    across subject shards), f64 CorG with the 1+lambda ridge diagonal
+    (src/gene.cpp:569-586), then the category-level contractions
+    U = W z, CovU = W CorG W^T, WWt = W W^T (src/gene.cpp:594-648).
+
+    Returns (CovU [B, 6, 6], WWt [B, 6, 6], U [B, 6]) float64."""
+    Gb = jnp.take(G_dev, idx, axis=0)                     # [B, n, S_loc]
+    if valid is not None:
+        Gb = Gb * valid[None, None, :]
+    g = Gb.astype(jnp.float32)
+    Cs, Ss, Qs = [], [], []
+    for k in range(len(true_sizes)):
+        gk = g[:, :, int(bounds[k]):int(bounds[k + 1])]
+        Cs.append(jnp.einsum("bns,bms->bnm", gk, gk,
+                             preferred_element_type=jnp.float32))
+        Ss.append(jnp.sum(gk, axis=2))
+        Qs.append(jnp.sum(gk * gk, axis=2))
+    C = jnp.stack(Cs)
+    S = jnp.stack(Ss)
+    Q = jnp.stack(Qs)
+    if psum is not None:
+        C, S, Q = psum(C), psum(S), psum(Q)
+    CorG = _corr_from_pop_partials(C, S, Q, true_sizes, wgts)
+    eye = jnp.eye(CorG.shape[1], dtype=CorG.dtype)
+    CorG = CorG * (1.0 - eye) + (1.0 + lam) * eye
+    WCor = jnp.einsum("bkn,bnm->bkm", Wb, CorG)
+    CovU = jnp.einsum("bkm,bjm->bkj", WCor, Wb)
+    WWt = jnp.einsum("bkn,bjn->bkj", Wb, Wb)
+    U = jnp.einsum("bkn,bn->bk", Wb, zb)
+    return CovU, WWt, U
+
+
+@partial(jax.jit, static_argnames=("pop_sizes", "wgts", "lam"))
+def _gene_stats_unsharded(G_dev, idx, Wb, zb, pop_sizes, wgts, lam):
+    bounds = stats.segment_bounds(pop_sizes)
+    return _gene_stats_body(G_dev, idx, Wb, zb, bounds, pop_sizes,
+                            wgts, lam)
+
+
+_SHARDED_GENE_FNS = {}
+
+
+def _gene_stats_sharded_fn(pop_sizes, local_sizes, wgts, lam, mesh):
+    """Mesh variant: gene batches data-parallel over the ``window``
+    axis, subject axis sharded with one psum of the exact partial
+    statistics (the windowed kernels' protocol, parallel/mesh.py).
+    The panel must be in subject_shard_layout order."""
+    key = (pop_sizes, local_sizes, wgts, lam, mesh)
+    fn = _SHARDED_GENE_FNS.get(key)
+    if fn is not None:
+        return fn
+    from jax.sharding import PartitionSpec as P
+    from ..parallel.mesh import subject_valid_layout
+
+    n_sub = mesh.shape["subject"]
+    valid_np = subject_valid_layout(pop_sizes, n_sub).astype(np.int8)
+    bounds = stats.segment_bounds(local_sizes)
+
+    def body(G, idx, Wb, zb, valid):
+        return _gene_stats_body(
+            G, idx, Wb, zb, bounds, pop_sizes, wgts, lam, valid=valid,
+            psum=lambda x: jax.lax.psum(x, "subject"))
+
+    sharded = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, "subject"), P("window", None),
+                  P("window", None, None), P("window", None), P("subject")),
+        out_specs=(P("window", None, None), P("window", None, None),
+                   P("window", None)),
+    )
+    jfn = jax.jit(sharded)
+    valid_d = jnp.asarray(valid_np)
+
+    def wrapper(G_dev, idx, Wb, zb):
+        return jfn(G_dev, idx, Wb, zb, valid_d)
+
+    _SHARDED_GENE_FNS[key] = wrapper
+    return wrapper
+
+
+def gene_stats_resident(
+    G_dev,
+    gene_idx: List[np.ndarray],
+    Ws: List[np.ndarray],              # per gene [6, n_g] f64
+    zs: List[np.ndarray],              # per gene [n_g] f64
+    pop_sizes: Sequence[int],
+    wgts: Optional[Sequence[float]] = None,
+    lam: float = 0.1,
+    mesh=None,
+    local_pop_sizes: Optional[Sequence[int]] = None,
+    max_batch_elems: int = 1 << 26,
+) -> List[Tuple[np.ndarray, np.ndarray, np.ndarray]]:
+    """Per-gene category statistics (CovU [6,6], WWt [6,6], U [6]) with
+    the gene SNP blocks gathered from the HBM-resident panel and ALL the
+    O(n^2) work batched on-device -- the host keeps only the k<=6
+    pruning / chi-square (reference per-gene loop:
+    src/jepegmix.cpp:122-139, src/gene.cpp:553-822).
+
+    With ``mesh`` set, gene buckets run data-parallel over the
+    ``window`` axis and the subject axis is sharded + psum'd
+    (``G_dev`` must then be in subject_shard_layout order with
+    ``local_pop_sizes`` the per-shard segment widths)."""
+    sizes_key = tuple(int(x) for x in pop_sizes)
+    wgts_key = tuple(float(x) for x in wgts) if wgts is not None else None
+    S = int(G_dev.shape[1])
+    n_win = 1 if mesh is None else mesh.shape["window"]
+    order = np.argsort([len(g) for g in gene_idx], kind="stable")
+    out: List[Optional[Tuple]] = [None] * len(gene_idx)
+
+    if mesh is not None:
+        local_key = tuple(int(x) for x in local_pop_sizes)
+        fn = _gene_stats_sharded_fn(sizes_key, local_key, wgts_key,
+                                    float(lam), mesh)
+    else:
+        fn = partial(_gene_stats_unsharded, pop_sizes=sizes_key,
+                     wgts=wgts_key, lam=float(lam))
+
+    i = 0
+    while i < len(order):
+        npad = _bucket(len(gene_idx[order[i]]))
+        batch = []
+        while (i < len(order)
+               and _bucket(len(gene_idx[order[i]])) == npad
+               and (len(batch) + 1) * npad * S <= max_batch_elems):
+            batch.append(order[i])
+            i += 1
+        B = -(-len(batch) // n_win) * n_win     # pad batch for the mesh
+        idx = np.zeros((B, npad), dtype=np.int32)
+        Wb = np.zeros((B, 6, npad))
+        zb = np.zeros((B, npad))
+        for bi, gi in enumerate(batch):
+            n = len(gene_idx[gi])
+            idx[bi, :n] = gene_idx[gi]
+            Wb[bi, :, :n] = Ws[gi]
+            zb[bi, :n] = zs[gi]
+        CovU, WWt, U = (np.asarray(a) for a in
+                        fn(G_dev, jnp.asarray(idx), jnp.asarray(Wb),
+                           jnp.asarray(zb)))
+        for bi, gi in enumerate(batch):
+            out[gi] = (CovU[bi], WWt[bi], U[bi])
+    return out
+
+
 def gene_corr_resident(
     G_dev,
     gene_idx: List[np.ndarray],

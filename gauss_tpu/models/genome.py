@@ -926,14 +926,30 @@ class PreparedGenes:
     pop_sizes: Tuple[int, ...]
     wgts: Optional[Tuple[float, ...]]
     _G_dev: Optional[jnp.ndarray] = None
+    _local_sizes: Optional[Tuple[int, ...]] = None
 
     def _device_panel(self) -> jnp.ndarray:
+        """Selected-population panel in HBM.  With an engine mesh the
+        subject axis is re-laid-out for sharding (each shard holds an
+        equal slice of every population) and the upload itself is
+        sharded over the ``subject`` mesh axis."""
         if self._G_dev is None:
             G = self.engine.store.G
             cols = self.subj_cols
             full = len(cols) == G.shape[1] and bool(
                 np.array_equal(cols, np.arange(G.shape[1])))
-            self._G_dev = jnp.asarray(G if full else G[:, cols])
+            Gs = G if full else G[:, cols]
+            mesh = self.engine.mesh
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                from ..parallel.mesh import subject_shard_layout
+                G_layout, _, locs = subject_shard_layout(
+                    Gs, self.pop_sizes, mesh.shape["subject"])
+                self._local_sizes = locs
+                self._G_dev = jax.device_put(
+                    G_layout, NamedSharding(mesh, P(None, "subject")))
+            else:
+                self._G_dev = jnp.asarray(Gs)
         return self._G_dev
 
     def jepeg_region(self, start_bp: Optional[int] = None,
@@ -942,7 +958,12 @@ class PreparedGenes:
         [start_bp, end_bp] (None = unbounded).  Genes are independent
         (reference loops them serially, src/jepegmix.cpp:122-139);
         assigning each gene to the chunk holding its first SNP makes
-        chunked genome-wide runs partition the gene set exactly."""
+        chunked genome-wide runs partition the gene set exactly.
+
+        All O(n^2) per-gene math (CorG, CovU, WWt, U) runs batched on
+        the device -- sharded over the engine mesh when one is set
+        (genes over the ``window`` axis, subjects psum'd) -- and only
+        the k<=6 category pruning/chi-square remains on the host."""
         from . import jepeg as jepeg_mod
         lo = -np.inf if start_bp is None else start_bp
         hi = np.inf if end_bp is None else end_bp
@@ -953,11 +974,18 @@ class PreparedGenes:
         from ..core import genekernels
         spans_sel = [self.spans[i] for i in gsel]
         idx_list = [self.panel_rows[s:e] for s, e in spans_sel]
-        corrs = genekernels.gene_corr_resident(
-            self._device_panel(), idx_list, self.pop_sizes, self.wgts)
-        return jepeg_mod.run_gene_tests(
-            self.zs, self.infos, self.rsids, self.gids, spans_sel, corrs,
-            self.cw_rows, self.cp_rows, self.engine.settings)
+        sqrt_info = np.sqrt(self.infos)
+        Ws = [(self.cw_rows[s:e] * sqrt_info[s:e, None]).T
+              for s, e in spans_sel]
+        zs = [self.zs[s:e] for s, e in spans_sel]
+        panel = self._device_panel()     # sets _local_sizes under a mesh
+        stats6 = genekernels.gene_stats_resident(
+            panel, idx_list, Ws, zs, self.pop_sizes, self.wgts,
+            lam=self.engine.settings.lambda_, mesh=self.engine.mesh,
+            local_pop_sizes=self._local_sizes)
+        return jepeg_mod.run_gene_tests_stats(
+            self.zs, self.rsids, self.gids, spans_sel, stats6,
+            self.cp_rows, self.engine.settings)
 
 
 def _build_corr_blocks_fn(pop_sizes, wgts):

@@ -52,21 +52,47 @@ def _gene_test(CorG: np.ndarray, z: np.ndarray, info: np.ndarray,
     """Per-gene JEPEG statistic (reference: CalJepegPval,
     src/gene.cpp:288-550).  CorG must already carry the 1+lambda ridge
     diagonal."""
-    res = GeneResult(num_snp=len(z))
     counts = categ_present.sum(axis=0)          # per category SNP counts
     present = np.flatnonzero(counts > 0)        # category numbers, ascending
-    k = len(present)
-    if k == 0:
-        return res
+    if len(present) == 0:
+        return GeneResult(num_snp=len(z))
 
     # W[k, n] = annot weight * sqrt(info) (reference: GetW,
     # src/gene.cpp:859-877; GetCategWgt returns 0 for absent categories)
     W = (categ_wgt[:, present] * np.sqrt(info)[:, None]).T
     WWt = W @ W.T
     CovU = W @ CorG @ W.T
+    U = W @ z
+    return _gene_test_core(CovU, WWt, U, z, rsid, geneid, present, settings)
+
+
+def _gene_test_stats(CovU6: np.ndarray, WWt6: np.ndarray, U6: np.ndarray,
+                     z: np.ndarray, rsid: np.ndarray, geneid: str,
+                     categ_present: np.ndarray,
+                     settings: Settings) -> GeneResult:
+    """Per-gene test from device-precomputed 6-category statistics
+    (core/genekernels.gene_stats_resident): absent categories are
+    all-zero rows/cols, so restricting to the present set reproduces
+    _gene_test's W exactly."""
+    counts = categ_present.sum(axis=0)
+    present = np.flatnonzero(counts > 0)
+    if len(present) == 0:
+        return GeneResult(num_snp=len(z))
+    sel = np.ix_(present, present)
+    return _gene_test_core(CovU6[sel], WWt6[sel], U6[present], z, rsid,
+                           geneid, present, settings)
+
+
+def _gene_test_core(CovU: np.ndarray, WWt: np.ndarray, U: np.ndarray,
+                    z: np.ndarray, rsid: np.ndarray, geneid: str,
+                    present: np.ndarray,
+                    settings: Settings) -> GeneResult:
+    """Category pruning + chi-square given the k<=6 category statistics
+    (reference: CalJepegPval src/gene.cpp:288-550 after CovU is built)."""
+    res = GeneResult(num_snp=len(z))
+    k = len(present)
     with np.errstate(invalid="ignore", divide="ignore"):
         CorU = linalg.cov_to_cor(CovU)
-    U = W @ z
     varU = np.diag(CovU)
     with np.errstate(invalid="ignore", divide="ignore"):
         categ_pval = pnorm_two_sided(U / np.sqrt(varU))
@@ -131,6 +157,27 @@ def run_gene_tests(zs: np.ndarray, infos: np.ndarray, rsids: np.ndarray,
         results.append(_gene_test(
             CorG, zs[s:e], infos[s:e], rsids[s:e], gids[s],
             cw_rows[s:e], cp_rows[s:e], settings))
+    return _results_frame(results)
+
+
+def run_gene_tests_stats(zs: np.ndarray, rsids: np.ndarray,
+                         gids: np.ndarray, spans, stats6,
+                         cp_rows: np.ndarray,
+                         settings: Settings) -> pd.DataFrame:
+    """Gene tests from device-precomputed category statistics
+    (``stats6``: one (CovU [6,6], WWt [6,6], U [6]) tuple per gene from
+    core/genekernels.gene_stats_resident).  Only the k<=6 pruning and
+    chi-square remain on the host."""
+    results: List[GeneResult] = []
+    for gi, (s, e) in enumerate(spans):
+        CovU6, WWt6, U6 = stats6[gi]
+        results.append(_gene_test_stats(
+            CovU6, WWt6, U6, zs[s:e], rsids[s:e], gids[s],
+            cp_rows[s:e], settings))
+    return _results_frame(results)
+
+
+def _results_frame(results: List[GeneResult]) -> pd.DataFrame:
     return pd.DataFrame({
         "geneid": [r.geneid for r in results],
         "chisq": [r.chisq for r in results],

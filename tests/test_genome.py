@@ -275,3 +275,39 @@ def test_engine_resident_jepegmix_parity_and_chunking(
     assert list(both["geneid"]) == list(res["geneid"])
     np.testing.assert_allclose(both["chisq"], res["chisq"],
                                rtol=1e-12, atol=0)
+
+
+def test_engine_jepeg_on_mesh_matches_single_device(
+        store, synpanel, gwas_input, annot_file_g):
+    """jepeg_region over a (2 x 4) mesh (genes data-parallel on the
+    window axis, subjects sharded + psum'd) == 1-device result.  The
+    psum'd partial statistics are exact integer sums, so the match is
+    to f64 determinism, not a loose tolerance."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gauss_tpu.parallel.mesh import make_mesh
+    path, _ = gwas_input
+    inp = readers.read_input_z(path, all_snps=True)
+    annot = readers.read_annotation(annot_file_g)
+    pop_wgt = {"AAA": 0.4, "BBB": 0.35, "EEE": 0.25}
+
+    res_1 = GenomeEngine(store).prepare_genes(
+        inp, annot, pop_wgt=pop_wgt).jepeg_region()
+    res_m = GenomeEngine(store, mesh=make_mesh(2, 4)).prepare_genes(
+        inp, annot, pop_wgt=pop_wgt).jepeg_region()
+    res_1, res_m = _gene_sorted(res_1), _gene_sorted(res_m)
+    assert list(res_1["geneid"]) == list(res_m["geneid"])
+    np.testing.assert_allclose(res_m["chisq"], res_1["chisq"],
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_array_equal(res_m["df"], res_1["df"])
+    assert list(res_m["top_categ"]) == list(res_1["top_categ"])
+
+    # homogeneous (jepeg) mode over the mesh as well
+    h_1 = GenomeEngine(store).prepare_genes(
+        inp, annot, study_pop="EUR").jepeg_region()
+    h_m = GenomeEngine(store, mesh=make_mesh(2, 4)).prepare_genes(
+        inp, annot, study_pop="EUR").jepeg_region()
+    h_1, h_m = _gene_sorted(h_1), _gene_sorted(h_m)
+    np.testing.assert_allclose(h_m["chisq"], h_1["chisq"],
+                               rtol=1e-12, atol=1e-12)

@@ -324,3 +324,34 @@ def test_streaming_prefetch_overlaps_decode(tmp_path, setup):
     assert decodes[0].meta["prefetched"] is False   # nothing to overlap yet
     assert all(p.meta["prefetched"] for p in decodes[1:])
     assert r._prefetch == {}                        # cleaned up
+
+
+def test_jepeg_runner_on_mesh(tmp_path, setup, synpanel):
+    """Checkpointed analysis='jepeg' over a (2 x 4) mesh == 1-device."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices")
+    from gauss_tpu.io import readers
+    from gauss_tpu.parallel.mesh import make_mesh
+    from gauss_tpu.utils import testing as gtest
+    store, inp, pop_wgt = setup[:3]
+    annot_path = tmp_path / "annot.txt"
+    gtest.make_annotation(synpanel, str(annot_path))
+    annot = readers.read_annotation(str(annot_path))
+
+    def _run(d, mesh):
+        eng = GenomeEngine(store, snp_bucket=64, mesh=mesh)
+        r = GenomeRunner(str(d), eng, inp, pop_wgt, analysis="jepeg",
+                         annot_df=annot, window_bp=600_000,
+                         wing_size=200_000, chunk_bp=900_000)
+        r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+        stats = r.run()
+        assert stats["failed"] == 0
+        return r.collect()
+
+    df_m = _run(tmp_path / "mesh", make_mesh(2, 4))
+    df_1 = _run(tmp_path / "one", None)
+    assert len(df_m) == len(df_1) > 0
+    np.testing.assert_allclose(df_m["chisq"].to_numpy(),
+                               df_1["chisq"].to_numpy(),
+                               rtol=1e-12, atol=1e-12)
