@@ -31,7 +31,7 @@ from ..ops.window_kernel import (WindowKernelSpec, build_gather_ld_kernel,
                                  build_gather_window_kernel,
                                  build_qcat_region_kernel,
                                  build_region_kernel, build_window_kernel,
-                                 pad_pop_segments)
+                                 pad_pop_segments, unpack_tri_i16)
 from ..utils.special import pchisq_upper, pnorm_two_sided
 
 import jax
@@ -338,12 +338,13 @@ class GenomeEngine:
             self._fused_fns[key] = fn
         return fn
 
-    def _sharded_fn(self, kind: str, sizes, wgts, local_sizes):
+    def _sharded_fn(self, kind: str, sizes, wgts, local_sizes,
+                    fetch: str = "f32"):
         """Mesh-sharded kernel (subject-sharded panel + window-parallel
         scan).  ``kind``: "region" | "qcat" | "ld".  ``local_sizes`` are
         the per-shard population segment widths from
         subject_shard_layout."""
-        key = ("sharded", kind, sizes, wgts, local_sizes)
+        key = ("sharded", kind, sizes, wgts, local_sizes, fetch)
         fn = self._fused_fns.get(key)
         if fn is None:
             from ..parallel import mesh as pm
@@ -357,18 +358,22 @@ class GenomeEngine:
                 # (_int8_sharded_weighted_stats), falling back to the
                 # centered f32 path for >23k-subject populations
                 stats="int8")
-            build = {"region": pm.build_sharded_region_kernel,
-                     "qcat": pm.build_sharded_qcat_region_kernel,
-                     "ld": pm.build_sharded_ld_kernel}[kind]
-            fn = build(spec, self.mesh)
+            if kind == "ld":
+                fn = pm.build_sharded_ld_kernel(spec, self.mesh,
+                                                fetch=fetch)
+            else:
+                build = {"region": pm.build_sharded_region_kernel,
+                         "qcat": pm.build_sharded_qcat_region_kernel}[kind]
+                fn = build(spec, self.mesh)
             self._fused_fns[key] = fn
         return fn
 
-    def _ld_fn(self, Mp: int, sizes, wgts):
-        key = ("ld", Mp, sizes, wgts)
+    def _ld_fn(self, Mp: int, sizes, wgts, fetch: str = "f32"):
+        key = ("ld", Mp, sizes, wgts, fetch)
         fn = self._fused_fns.get(key)
         if fn is None:
-            fn = build_gather_ld_kernel(self._spec(sizes, wgts))
+            fn = build_gather_ld_kernel(self._spec(sizes, wgts),
+                                        fetch=fetch)
             self._fused_fns[key] = fn
         return fn
 
@@ -418,12 +423,12 @@ class PreparedRun:
             self._G_dev = jnp.asarray(Gh)
         return self._G_dev
 
-    def _mesh_fn(self, kind: str):
+    def _mesh_fn(self, kind: str, fetch: str = "f32"):
         """Sharded kernel for this run's panel layout (the panel upload
         fixes _local_sizes first)."""
         panel = self._device_panel()
         fn = self.engine._sharded_fn(kind, self.pop_sizes, self.wgts,
-                                     self._local_sizes)
+                                     self._local_sizes, fetch=fetch)
         return panel, fn
 
     def _dispatch_device(self, m_rows, u_rows, M, U, Mp, Up, Z1,
@@ -537,12 +542,18 @@ class PreparedRun:
         })
         return WindowResult(table=res, n_measured=M, n_unmeasured=U)
 
-    def ld_window(self, start_bp: int, end_bp: int) -> Optional[Dict]:
+    def ld_window(self, start_bp: int, end_bp: int,
+                  fetch: str = "i16tri") -> Optional[Dict]:
         """Ancestry-weighted LD matrix of the window's MEASURED SNPs
         over the resident panel (computeLD semantics: wing = 0, diag
         1.0, no ridge; src/computeLD.cpp:26-166).  Returns
         {'snplist': DataFrame, 'cormat': float64 [n, n]} or None when
-        the window has no measured SNPs."""
+        the window has no measured SNPs.
+
+        ``fetch``: "i16tri" (default) transfers the packed int16 lower
+        triangle -- 1/8 the bytes, |dr| <= LD_I16_MAX_ERR ~ 1.5e-5
+        (documented deviation; the host compute_ld path stays full
+        f64) -- "f32" the full matrix."""
         if self.wgts is None:
             raise ValueError("ld_window requires population weights "
                              "(prepare_mix)")
@@ -562,11 +573,14 @@ class PreparedRun:
         m_mask = np.zeros((n_win, Mp), dtype=np.float32)
         m_mask[0, :M] = 1.0
         if mesh is not None:
-            panel, fn = self._mesh_fn("ld")
+            panel, fn = self._mesh_fn("ld", fetch=fetch)
         else:
             panel = self._device_panel()
-            fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts)
-        corr = np.asarray(fn(panel, m_idx, m_mask))
+            fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts,
+                                    fetch=fetch)
+        out = np.asarray(fn(panel, m_idx, m_mask))
+        cormat = (unpack_tri_i16(out[0], Mp, M) if fetch == "i16tri"
+                  else out[0, :M, :M].astype(np.float64))
         tt = t.iloc[m_rows]
         snplist = pd.DataFrame({
             "rsid": tt["rsid"].to_numpy(), "chr": tt["chr"].to_numpy(),
@@ -575,22 +589,25 @@ class PreparedRun:
             "af1mix": tt["af1mix"].to_numpy(),
             "z": tt["z"].to_numpy(),
         })
-        return {"snplist": snplist,
-                "cormat": corr[0, :M, :M].astype(np.float64)}
+        return {"snplist": snplist, "cormat": cormat}
 
     def ld_region(self, start_bp: int, end_bp: int,
-                  window_bp: int = 1_000_000) -> List[Dict]:
+                  window_bp: int = 1_000_000,
+                  fetch: str = "i16tri") -> List[Dict]:
         """ld_window over consecutive windows, every window dispatched
         before any correlation matrix is fetched (the dense [M, M]
         outputs dominate the host link here, so overlapping fetches
         with dispatches beats the single-scan formulation that works
-        best for impute_region's tiny outputs)."""
+        best for impute_region's tiny outputs).  ``fetch`` as in
+        ld_window: the default int16-triangle transfer is 1/8 the
+        bytes with |dr| <= LD_I16_MAX_ERR."""
         t = self.table
         bp = t["bp"].to_numpy()
         typ = t["type"].to_numpy()
         mesh = self.engine.mesh
         if mesh is not None:
-            return self._ld_region_mesh(start_bp, end_bp, window_bp)
+            return self._ld_region_mesh(start_bp, end_bp, window_bp,
+                                        fetch=fetch)
         pending = []
         pos = start_bp
         while pos <= end_bp:
@@ -603,17 +620,21 @@ class PreparedRun:
                 m_idx[0, :M] = self.g_row[m_rows]
                 m_mask = np.zeros((1, Mp), dtype=np.float32)
                 m_mask[0, :M] = 1.0
-                fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts)
+                fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts,
+                                        fetch=fetch)
                 corr = fn(self._device_panel(), m_idx, m_mask)
-                pending.append((m_rows, M, corr))
+                pending.append((m_rows, M, Mp, corr))
             pos = hi + 1
-        for _, _, corr in pending:
+        for _, _, _, corr in pending:
             try:
                 corr.copy_to_host_async()
             except AttributeError:
                 break
         out = []
-        for m_rows, M, corr in pending:
+        for m_rows, M, Mp, corr in pending:
+            raw = np.asarray(corr)
+            cormat = (unpack_tri_i16(raw[0], Mp, M) if fetch == "i16tri"
+                      else raw[0, :M, :M].astype(np.float64))
             tt = t.iloc[m_rows]
             out.append({
                 "snplist": pd.DataFrame({
@@ -624,12 +645,12 @@ class PreparedRun:
                     "a2": tt["a2"].to_numpy(),
                     "af1mix": tt["af1mix"].to_numpy(),
                     "z": tt["z"].to_numpy()}),
-                "cormat": np.asarray(corr)[0, :M, :M].astype(np.float64),
+                "cormat": cormat,
             })
         return out
 
     def _ld_region_mesh(self, start_bp: int, end_bp: int,
-                        window_bp: int) -> List[Dict]:
+                        window_bp: int, fetch: str = "i16tri") -> List[Dict]:
         """Mesh variant of ld_region: all windows padded to one Mp and
         computed in a single dispatch split over the window axis."""
         t = self.table
@@ -653,7 +674,7 @@ class PreparedRun:
         for i, m_rows in enumerate(windows):
             m_idx[i, :len(m_rows)] = self.g_row[m_rows]
             m_mask[i, :len(m_rows)] = 1.0
-        panel, fn = self._mesh_fn("ld")
+        panel, fn = self._mesh_fn("ld", fetch=fetch)
         corr = np.asarray(fn(panel, m_idx, m_mask))
         out = []
         for i, m_rows in enumerate(windows):
@@ -668,7 +689,9 @@ class PreparedRun:
                     "a2": tt["a2"].to_numpy(),
                     "af1mix": tt["af1mix"].to_numpy(),
                     "z": tt["z"].to_numpy()}),
-                "cormat": corr[i, :M, :M].astype(np.float64),
+                "cormat": (unpack_tri_i16(corr[i], Mp, M)
+                           if fetch == "i16tri"
+                           else corr[i, :M, :M].astype(np.float64)),
             })
         return out
 

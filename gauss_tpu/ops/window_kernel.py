@@ -514,13 +514,52 @@ def window_corr(Gm, m_mask, spec: WindowKernelSpec,
     return corr * (1.0 - eye) + eye
 
 
-def build_gather_ld_kernel(spec: WindowKernelSpec):
+LD_I16_SCALE = 32767.0
+#: quantization bound of the int16 triangle fetch: 0.5/32767 from the
+#: round-to-int plus the f32 rounding of corr*32767 (|corr| <= 1, so
+#: that product rounds within 32767 * 2^-24 < 0.002 units)
+LD_I16_MAX_ERR = 0.502 / LD_I16_SCALE
+
+
+def pack_tri_i16(corr):
+    """Device-side LD fetch compression: correlations live in [-1, 1]
+    and the matrix is symmetric, so fetch the lower triangle as int16
+    fixed-point -- 1/8 the bytes of the full f32 matrix, with
+    |dr| <= LD_I16_MAX_ERR ~ 1.5e-5 (below the f32-vs-f64 stats noise
+    at 33k subjects).  The diagonal is exactly 1.0 both ways (the
+    kernel forces it; 32767/32767 == 1)."""
+    Mp = corr.shape[-1]
+    ti, tj = np.tril_indices(Mp)
+    q = jnp.clip(jnp.round(corr * LD_I16_SCALE),
+                 -LD_I16_SCALE, LD_I16_SCALE).astype(jnp.int16)
+    return q[..., ti, tj]                     # [..., Mp*(Mp+1)//2]
+
+
+def unpack_tri_i16(tri: np.ndarray, Mp: int, M: int) -> np.ndarray:
+    """Host-side inverse of pack_tri_i16 restricted to the leading
+    M x M block: float64 symmetric matrix."""
+    ti, tj = np.tril_indices(Mp)
+    keep = (ti < M) & (tj < M)
+    out = np.zeros((M, M))
+    vals = np.asarray(tri, dtype=np.float64)[keep] / LD_I16_SCALE
+    out[ti[keep], tj[keep]] = vals
+    out = out + out.T
+    out[np.diag_indices(M)] /= 2.0
+    return out
+
+
+def build_gather_ld_kernel(spec: WindowKernelSpec, fetch: str = "f32"):
     """Jitted (G_dev [R, S] int8, m_idx [W, Mp] i32, m_mask [W, Mp]) ->
-    corr [W, Mp, Mp] with the panel resident in HBM."""
+    LD output with the panel resident in HBM.  ``fetch``: "f32" returns
+    the full corr [W, Mp, Mp]; "i16tri" returns the packed int16 lower
+    triangle [W, Mp*(Mp+1)//2] (see pack_tri_i16) -- the dense cormat
+    fetch dominates the host link on computeLD workloads
+    (src/computeLD.cpp:104-116 is the corr; the fetch is ours)."""
     @jax.jit
     def fn(G_dev, m_idx, m_mask):
         Gm = jnp.take(G_dev, m_idx, axis=0)
-        return window_corr(Gm, m_mask, spec)
+        corr = window_corr(Gm, m_mask, spec)
+        return pack_tri_i16(corr) if fetch == "i16tri" else corr
 
     return fn
 

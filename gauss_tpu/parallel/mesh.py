@@ -164,24 +164,30 @@ def build_sharded_qcat_region_kernel(spec: WindowKernelSpec, mesh: Mesh):
     return wrapper
 
 
-def build_sharded_ld_kernel(spec: WindowKernelSpec, mesh: Mesh):
+def build_sharded_ld_kernel(spec: WindowKernelSpec, mesh: Mesh,
+                            fetch: str = "f32"):
     """Sharded analog of build_gather_ld_kernel over a batch of windows
     (same panel-layout contract).  Returns (G_layout, m_idx [W, Mp],
-    m_mask [W, Mp]) -> corr [W, Mp, Mp]."""
+    m_mask [W, Mp]) -> corr [W, Mp, Mp] ("f32") or the packed int16
+    lower triangle [W, Mp*(Mp+1)//2] ("i16tri")."""
+    from ..ops.window_kernel import pack_tri_i16
+
     n_sub = mesh.shape["subject"]
     valid = jnp.asarray(subject_valid_layout(spec.pop_sizes, n_sub))
 
     def fn(G, mi, mm, sv):
         Gm = jnp.take(G, mi, axis=0)
-        return window_corr(Gm, mm, spec, axis_name="subject",
+        corr = window_corr(Gm, mm, spec, axis_name="subject",
                            subject_valid=sv)
+        return pack_tri_i16(corr) if fetch == "i16tri" else corr
 
     sharded = jax.shard_map(
         fn,
         mesh=mesh,
         in_specs=(P(None, "subject"), P("window", None),
                   P("window", None), P("subject")),
-        out_specs=P("window", None, None),
+        out_specs=(P("window", None) if fetch == "i16tri"
+                   else P("window", None, None)),
     )
     jfn = jax.jit(sharded)
 

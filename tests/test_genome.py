@@ -311,3 +311,33 @@ def test_engine_jepeg_on_mesh_matches_single_device(
     h_1, h_m = _gene_sorted(h_1), _gene_sorted(h_m)
     np.testing.assert_allclose(h_m["chisq"], h_1["chisq"],
                                rtol=1e-12, atol=1e-12)
+
+
+def test_ld_i16tri_fetch_bound(store, synpanel, gwas_input):
+    """The packed int16-triangle LD fetch must match the full-f32 fetch
+    within the documented quantization bound LD_I16_MAX_ERR, with an
+    exactly-1.0 diagonal and exact symmetry."""
+    from gauss_tpu.io import readers
+    from gauss_tpu.ops.window_kernel import LD_I16_MAX_ERR
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=0)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    run = GenomeEngine(store, snp_bucket=64, device_linalg=True
+                       ).prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    a = run.ld_window(lo, hi, fetch="i16tri")
+    b = run.ld_window(lo, hi, fetch="f32")
+    assert a["cormat"].shape == b["cormat"].shape
+    d = np.abs(a["cormat"] - b["cormat"]).max()
+    assert d <= LD_I16_MAX_ERR + 1e-12, d
+    np.testing.assert_array_equal(np.diag(a["cormat"]), 1.0)
+    np.testing.assert_array_equal(a["cormat"], a["cormat"].T)
+
+    ra = run.ld_region(lo, hi, window_bp=(hi - lo) // 2)
+    rb = run.ld_region(lo, hi, window_bp=(hi - lo) // 2, fetch="f32")
+    assert len(ra) == len(rb) > 0
+    for x, y in zip(ra, rb):
+        assert np.abs(x["cormat"] - y["cormat"]).max() <= LD_I16_MAX_ERR + 1e-12

@@ -179,8 +179,10 @@ def test_engine_mesh_qcat_and_ld_match_single_device(synpanel, gwas_input):
     for a, b in zip(ld_m, ld_1):
         assert (a["snplist"]["rsid"].to_numpy()
                 == b["snplist"]["rsid"].to_numpy()).all()
+        # both sides quantize independently (default i16tri fetch), so
+        # the worst case is one LSB apart on top of the stats tolerance
         np.testing.assert_allclose(a["cormat"], b["cormat"],
-                                   rtol=1e-5, atol=2e-6)
+                                   rtol=1e-5, atol=4e-5)
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
