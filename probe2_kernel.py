@@ -79,7 +79,8 @@ def main():
 
     @jax.jit
     def dyn_slice(G, st):
-        def body(_, s):
+        def body(_, xs1):
+            (s,) = xs1
             blocks = [jax.lax.dynamic_slice(G, (s[i], 0), (Np, S))
                       for i in range(B)]
             X = jnp.stack(blocks)
