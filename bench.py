@@ -99,12 +99,20 @@ def main():
     k_sec, plans = run.region_kernel_seconds(lo, hi, window_bp=WINDOW_BP,
                                              wing_size=WING_BP)
     if k_sec is not None:
-        Mp = max(p[2][4] for p in plans)
-        Up = max(p[2][5] for p in plans)
         from gauss_tpu.models.genome import _round_up
-        Wp = _round_up(len(plans), engine.window_bucket)
+        from gauss_tpu.ops.pallas_gram import ROW_TILE
         spec = engine._spec(run.pop_sizes, run.wgts)
         S = int(np.sum(spec.pop_sizes_padded))
+        if engine._use_resident(run.wgts):
+            # resident kernel: windows are ROW_TILE-aligned bands
+            Mp = _round_up(max(p[2][2] for p in plans) + ROW_TILE - 1,
+                           ROW_TILE)
+            Up = _round_up(max(p[2][3] for p in plans) + ROW_TILE - 1,
+                           ROW_TILE)
+        else:
+            Mp = max(p[2][4] for p in plans)
+            Up = max(p[2][5] for p in plans)
+        Wp = _round_up(len(plans), engine.window_bucket)
         # per window: per-pop int8 Grams C_mm [Mp,Mp] + C_um [Up,Mp]
         # contract the full (padded) subject axis (window_kernel.py
         # _int8_weighted_stats); solves are O(Mp^3) f32, negligible next

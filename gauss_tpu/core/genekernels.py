@@ -17,6 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from . import stats
+from ..ops.dma_gather import take_rows
 
 
 @partial(jax.jit, static_argnames=("pop_sizes",))
@@ -73,12 +74,12 @@ def _gather_pooled_corr(G_dev, idx, pop_sizes):
     """Gather gene rows from the HBM-resident panel, then pooled corr.
     Padded idx entries gather row 0; their correlations are sliced off
     by the caller (pairwise statistics of real rows are unaffected)."""
-    return _batched_pooled_corr(jnp.take(G_dev, idx, axis=0), pop_sizes)
+    return _batched_pooled_corr(take_rows(G_dev, idx), pop_sizes)
 
 
 @partial(jax.jit, static_argnames=("pop_sizes", "wgts"))
 def _gather_weighted_corr(G_dev, idx, pop_sizes, wgts):
-    return _batched_weighted_corr(jnp.take(G_dev, idx, axis=0),
+    return _batched_weighted_corr(take_rows(G_dev, idx),
                                   pop_sizes, wgts)
 
 
@@ -181,7 +182,7 @@ def _gene_stats_body(G_dev, idx, Wb, zb, bounds, true_sizes, wgts, lam,
     U = W z, CovU = W CorG W^T, WWt = W W^T (src/gene.cpp:594-648).
 
     Returns (CovU [B, 6, 6], WWt [B, 6, 6], U [B, 6]) float64."""
-    Gb = jnp.take(G_dev, idx, axis=0)                     # [B, n, S_loc]
+    Gb = take_rows(G_dev, idx)                            # [B, n, S_loc]
     if valid is not None:
         Gb = Gb * valid[None, None, :]
     g = Gb.astype(jnp.float32)

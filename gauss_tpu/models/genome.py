@@ -30,8 +30,10 @@ from ..io.panel import PanelReader, read_panel_index
 from ..ops.window_kernel import (WindowKernelSpec, build_gather_ld_kernel,
                                  build_gather_window_kernel,
                                  build_qcat_region_kernel,
-                                 build_region_kernel, build_window_kernel,
-                                 pad_pop_segments, unpack_tri_i16)
+                                 build_region_kernel,
+                                 build_resident_region_kernel,
+                                 build_window_kernel, pad_pop_segments,
+                                 prepare_resident_panel, unpack_tri_i16)
 from ..utils.special import pchisq_upper, pnorm_two_sided
 
 import jax
@@ -107,7 +109,8 @@ class GenomeEngine:
                  device_linalg: bool = False,
                  window_bucket: int = 4,
                  stats: str = "pallas",
-                 mesh=None):
+                 mesh=None,
+                 region_mode: str = "auto"):
         """``mesh``: an optional jax.sharding.Mesh with axes
         ("window", "subject").  When set, the device path runs sharded:
         the panel lives subject-sharded across the mesh's ``subject``
@@ -128,8 +131,23 @@ class GenomeEngine:
                                  f"{mesh.axis_names}")
             device_linalg = True
         self.device_linalg = device_linalg
+        if region_mode not in ("auto", "resident", "gather"):
+            raise ValueError(f"unknown region_mode '{region_mode}'")
+        self.region_mode = region_mode
         self._corr_fns: Dict = {}
         self._fused_fns: Dict = {}
+
+    def _use_resident(self, wgts) -> bool:
+        """Gather-free resident region kernel eligibility: weighted,
+        unsharded, Pallas stats (see build_resident_region_kernel).
+        "auto" skips it on CPU (interpret-mode Pallas is numpy-speed);
+        "resident" forces it there for parity tests."""
+        if self.region_mode == "gather" or wgts is None:
+            return False
+        if self.mesh is not None or self.stats != "pallas":
+            return False
+        return (self.region_mode == "resident"
+                or jax.default_backend() != "cpu")
 
     # -- selection --------------------------------------------------------
     def _select(self, pop_flags: np.ndarray):
@@ -377,6 +395,15 @@ class GenomeEngine:
             self._fused_fns[key] = fn
         return fn
 
+    def _resident_fn(self, Mp: int, Up: int, sizes, wgts):
+        key = ("resident", Mp, Up, sizes, wgts)
+        fn = self._fused_fns.get(key)
+        if fn is None:
+            fn = build_resident_region_kernel(self._spec(sizes, wgts),
+                                              Mp, Up)
+            self._fused_fns[key] = fn
+        return fn
+
 
 @dataclasses.dataclass
 class PreparedRun:
@@ -388,6 +415,7 @@ class PreparedRun:
     wgts: Optional[Tuple[float, ...]]
     _G_dev: Optional[jnp.ndarray] = None
     _local_sizes: Optional[Tuple[int, ...]] = None
+    _res: Dict = dataclasses.field(default_factory=dict)
 
     def _device_panel(self) -> jnp.ndarray:
         """Selected-population dosage matrix, uploaded to HBM once and
@@ -784,12 +812,46 @@ class PreparedRun:
             "type": tt["type"].to_numpy(),
         })
 
+    def _resident_arrays(self, Mp: int, Up: int):
+        """Resident bp-sorted measured/unmeasured panels + per-row
+        statistics for the gather-free region kernel
+        (ops/window_kernel.build_resident_region_kernel).  Cached;
+        rebuilt only if a larger slice cap than cached is requested."""
+        from ..ops.pallas_gram import ROW_TILE as R
+        cached = self._res.get("caps")
+        if cached is not None and cached[0] >= Mp and cached[1] >= Up:
+            return self._res["arrays"]
+        t = self.table
+        typ = t["type"].to_numpy()
+        m_all = np.flatnonzero(typ == 1)
+        u_all = np.flatnonzero(typ == 0)
+        spec = self.engine._spec(self.pop_sizes, self.wgts)
+        G_dev = self._device_panel()
+
+        def build(rows_tbl, cap):
+            n = len(rows_tbl)
+            RN = _round_up(max(n, 1), R) + cap
+            rows = np.zeros(RN, dtype=np.int32)
+            rows[:n] = self.g_row[rows_tbl]
+            return prepare_resident_panel(G_dev, jnp.asarray(rows), n,
+                                          spec)
+        Xm, Spm, Mum, _ = build(m_all, Mp)
+        Xu, Spu, Muu, Vu = build(u_all, Up)
+        self._res = {"arrays": (Xm, Xu, Spm, Spu, Mum, Muu, Vu),
+                     "caps": (Mp, Up)}
+        return self._res["arrays"]
+
     def _region_batch(self, start_bp: int, end_bp: int, window_bp: int,
                       wing_size: int):
         """Plans + padded batch inputs + compiled kernel for the
         one-dispatch region scan, or None when no window clears the
         minimum counts.  Shared by impute_region and the bench's
-        kernel-only timing probe."""
+        kernel-only timing probe.
+
+        Returns (plans, inputs, panel_pack, fn) with fn(*panel_pack,
+        *inputs) -> (z, info); each plans entry is (lo, hi, plan,
+        (m_loc, u_loc)) where the locs give the window's row offset
+        inside its padded batch slot (0 on the gather paths)."""
         spans = []
         lo = start_bp
         while lo <= end_bp:
@@ -803,15 +865,60 @@ class PreparedRun:
                 plans.append((lo, hi, plan))
         if not plans:
             return None
+        zcol = self.table["z"].to_numpy()
+        mesh = self.engine.mesh
+
+        if self.engine._use_resident(self.wgts):
+            from ..ops.pallas_gram import ROW_TILE as R
+            t = self.table
+            typ = t["type"].to_numpy()
+            m_all = np.flatnonzero(typ == 1)
+            u_all = np.flatnonzero(typ == 0)
+            entries = []
+            for lo, hi, plan in plans:
+                m_rows, u_rows, M, U, *_ = plan
+                mpos = int(np.searchsorted(m_all, m_rows[0]))
+                upos = int(np.searchsorted(u_all, u_rows[0]))
+                # windows select bp ranges of the bp-sorted table, so
+                # their rows are contiguous runs of m_all/u_all
+                assert m_all[mpos + M - 1] == m_rows[-1], "non-contiguous"
+                assert u_all[upos + U - 1] == u_rows[-1], "non-contiguous"
+                mt0, ut0 = mpos // R, upos // R
+                entries.append((mpos - mt0 * R, upos - ut0 * R, mt0, ut0))
+            Mp = _round_up(max(e[0] + p[2][2]
+                               for e, p in zip(entries, plans)), R)
+            Up = _round_up(max(e[1] + p[2][3]
+                               for e, p in zip(entries, plans)), R)
+            W = len(plans)
+            Wp = _round_up(W, self.engine.window_bucket)
+            m_t0 = np.zeros(Wp, dtype=np.int32)
+            u_t0 = np.zeros(Wp, dtype=np.int32)
+            Z1b = np.zeros((Wp, Mp))
+            m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+            u_maskb = np.zeros((Wp, Up), dtype=np.float32)
+            plans_out = []
+            for i, ((mloc, uloc, mt0, ut0), (lo, hi, plan)) in enumerate(
+                    zip(entries, plans)):
+                m_rows, u_rows, M, U, *_ = plan
+                m_t0[i] = mt0
+                u_t0[i] = ut0
+                Z1b[i, mloc:mloc + M] = zcol[m_rows]
+                m_maskb[i, mloc:mloc + M] = 1.0
+                u_maskb[i, uloc:uloc + U] = 1.0
+                plans_out.append((lo, hi, plan, (mloc, uloc)))
+            arrays = self._resident_arrays(Mp, Up)
+            fn = self.engine._resident_fn(Mp, Up, self.pop_sizes,
+                                          self.wgts)
+            return plans_out, (m_t0, u_t0, Z1b, m_maskb, u_maskb), \
+                arrays, fn
+
         Mp = max(p[2][4] for p in plans)
         Up = max(p[2][5] for p in plans)
         W = len(plans)
-        mesh = self.engine.mesh
         n_win = 1 if mesh is None else mesh.shape["window"]
         # W must split evenly over the window axis AND each shard's
         # slice must divide by the scan batch width
         Wp = _round_up(W, self.engine.window_bucket * n_win)
-        zcol = self.table["z"].to_numpy()
         m_idx = np.zeros((Wp, Mp), dtype=np.int32)
         u_idx = np.zeros((Wp, Up), dtype=np.int32)
         Z1b = np.zeros((Wp, Mp))
@@ -829,7 +936,9 @@ class PreparedRun:
         else:
             panel = self._device_panel()
             fn = self.engine._region_fn(self.pop_sizes, self.wgts)
-        return plans, (m_idx, u_idx, Z1b, m_maskb, u_maskb), panel, fn
+        plans_out = [(lo, hi, plan, (0, 0)) for lo, hi, plan in plans]
+        return plans_out, (m_idx, u_idx, Z1b, m_maskb, u_maskb), \
+            (panel,), fn
 
     def region_kernel_seconds(self, start_bp: int, end_bp: int,
                               window_bp: int = 1_000_000,
@@ -851,7 +960,7 @@ class PreparedRun:
         times = []
         for _ in range(repeats):
             t0 = _time.time()
-            z, info = fn(panel, *inputs)
+            z, info = fn(*panel, *inputs)
             float(sync(z, info))
             times.append(_time.time() - t0)
         return sorted(times)[len(times) // 2], plans
@@ -877,7 +986,7 @@ class PreparedRun:
             if batch is not None:
                 plans, inputs, panel, fn = batch
                 t = self.table
-                z, info = fn(panel, *inputs)
+                z, info = fn(*panel, *inputs)
                 for a in (z, info):
                     try:
                         a.copy_to_host_async()
@@ -892,10 +1001,11 @@ class PreparedRun:
                 out_info = t["info"].to_numpy().copy()
                 bp = t["bp"].to_numpy()
                 emit = np.zeros(len(t), dtype=bool)
-                for i, (lo, hi, plan) in enumerate(plans):
+                for i, (lo, hi, plan, (mloc, uloc)) in enumerate(plans):
                     m_rows, u_rows, M, U, *_ = plan
-                    out_z[u_rows] = z[i, :U].astype(np.float64)
-                    out_info[u_rows] = info[i, :U].astype(np.float64)
+                    out_z[u_rows] = z[i, uloc:uloc + U].astype(np.float64)
+                    out_info[u_rows] = info[i, uloc:uloc + U].astype(
+                        np.float64)
                     emit |= (bp >= lo) & (bp <= hi)
                 tt = t[emit]
                 sel = np.flatnonzero(emit)

@@ -48,12 +48,20 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-K_TILE = 512      # subject-axis tile; population segments pad to this
-ROW_TILE = 256    # output row/col tile
+import os
+
+# Subject-axis tile; population segments pad to this.  128 (the MXU
+# lane width, the minimum legal int8 lane tile) keeps per-population
+# zero padding to <64 columns on average: at 512 the 29 x ~1.1k-subject
+# 33KG segments padded the subject axis by ~30%, and the kernel is
+# HBM-bound, so padding is wall-clock.  GAUSS_K_TILE overrides for
+# tuning experiments.
+K_TILE = int(os.environ.get("GAUSS_K_TILE", 128))
+ROW_TILE = int(os.environ.get("GAUSS_ROW_TILE", 256))
 
 
 def _kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
-            x_ref, y_ref, o_ref, cacc, facc):
+            xt_ref, yt_ref, x_ref, y_ref, o_ref, cacc, facc):
     t = pl.program_id(1)
     nt = pl.num_programs(1)
 
@@ -119,7 +127,9 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
                      pop_sizes_padded: Sequence[int],
                      wgts: Sequence[float],
                      n_sym: int = 0,
-                     interpret: bool = False) -> jnp.ndarray:
+                     interpret: bool = False,
+                     nx: int = 0, ny: int = 0,
+                     x_tile0=None, y_tile0=None) -> jnp.ndarray:
     """T1[NX, NY] f32 = sum_k (alpha_k m_k) * X_k Y_k^T  (fused Pallas).
 
     X: [NX, S] int8, Y: [NY, S] int8 with S = sum(pop_sizes_padded),
@@ -128,31 +138,54 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     rows of X are assumed identical to Y's leading rows and only the
     lower-triangle tiles of that block are computed (mirror with
     ``mirror_lower``); the tiles above stay uninitialized.
+
+    Region-resident mode: pass ``x_tile0``/``y_tile0`` (traced i32
+    scalars, in ROW_TILE units) and output sizes ``nx``/``ny`` to
+    compute the Gram of WINDOWS of much larger resident arrays -- the
+    kernel streams the [nx, S] x [ny, S] row bands starting at those
+    tile offsets straight from HBM.  This is how the windowed engine
+    avoids row gathers entirely: windows are contiguous row ranges of
+    the bp-sorted measured/unmeasured panels, and gathering rows from a
+    (32, 128)-tiled int8 HBM array costs ~10x its bytes (measured), so
+    block-offset streaming replaces materialization.
     """
     NX, S = X.shape
     NY = Y.shape[0]
-    if NX % ROW_TILE or NY % ROW_TILE:
-        raise ValueError(f"row counts ({NX}, {NY}) must be multiples of "
+    offset_mode = x_tile0 is not None
+    if offset_mode:
+        if not nx or not ny:
+            raise ValueError("offset mode needs explicit nx/ny")
+        x_t0 = jnp.asarray(x_tile0, jnp.int32).reshape(1)
+        y_t0 = jnp.asarray(y_tile0, jnp.int32).reshape(1)
+    else:
+        nx, ny = NX, NY
+        x_t0 = jnp.zeros(1, jnp.int32)
+        y_t0 = jnp.zeros(1, jnp.int32)
+    if nx % ROW_TILE or ny % ROW_TILE:
+        raise ValueError(f"row counts ({nx}, {ny}) must be multiples of "
                          f"{ROW_TILE}")
     first, last, beta = tile_tables(pop_sizes_padded, pop_sizes, wgts)
     T = S // K_TILE
     if len(first) != T:
         raise ValueError("pop_sizes_padded does not match subject axis")
-    pi, pj = pair_tables(n_sym, NX // ROW_TILE, NY // ROW_TILE)
+    pi, pj = pair_tables(n_sym, nx // ROW_TILE, ny // ROW_TILE)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=5,
+        num_scalar_prefetch=7,
         grid=(len(pi), T),
         in_specs=[
             pl.BlockSpec((ROW_TILE, K_TILE),
-                         lambda g, t, f, l, b, pi, pj: (pi[g], t),
+                         lambda g, t, f, l, b, pi, pj, xt, yt:
+                         (xt[0] + pi[g], t),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((ROW_TILE, K_TILE),
-                         lambda g, t, f, l, b, pi, pj: (pj[g], t),
+                         lambda g, t, f, l, b, pi, pj, xt, yt:
+                         (yt[0] + pj[g], t),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((ROW_TILE, ROW_TILE),
-                               lambda g, t, f, l, b, pi, pj: (pi[g], pj[g]),
+                               lambda g, t, f, l, b, pi, pj, xt, yt:
+                               (pi[g], pj[g]),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((ROW_TILE, ROW_TILE), jnp.int32),
@@ -167,15 +200,15 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
         pass
     return pl.pallas_call(
         _kernel,
-        out_shape=jax.ShapeDtypeStruct((NX, NY), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
             flops=2 * len(pi) * ROW_TILE * ROW_TILE * S,
-            bytes_accessed=NX * S + NY * S + 4 * NX * NY,
+            bytes_accessed=nx * S + ny * S + 4 * nx * ny,
             transcendentals=0),
         interpret=interpret,
         **kwargs,
-    )(first, last, beta, pi, pj, X, Y)
+    )(first, last, beta, pi, pj, x_t0, y_t0, X, Y)
 
 
 def mirror_lower(A: jnp.ndarray) -> jnp.ndarray:

@@ -58,6 +58,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core import stats
+from .dma_gather import take_rows
 
 _HI = jax.lax.Precision.HIGHEST
 
@@ -557,7 +558,7 @@ def build_gather_ld_kernel(spec: WindowKernelSpec, fetch: str = "f32"):
     (src/computeLD.cpp:104-116 is the corr; the fetch is ours)."""
     @jax.jit
     def fn(G_dev, m_idx, m_mask):
-        Gm = jnp.take(G_dev, m_idx, axis=0)
+        Gm = take_rows(G_dev, m_idx)
         corr = window_corr(Gm, m_mask, spec)
         return pack_tri_i16(corr) if fetch == "i16tri" else corr
 
@@ -798,8 +799,8 @@ def build_qcat_region_kernel(spec: WindowKernelSpec):
 
         def body(_, xs):
             mi, ui, z1, mm, um = xs
-            Gm = jnp.take(G_dev, mi, axis=0)
-            Gu = jnp.take(G_dev, ui, axis=0)
+            Gm = take_rows(G_dev, mi)
+            Gu = take_rows(G_dev, ui)
             return None, window_qcat(Gm, Gu, z1, mm, um, spec)
 
         xs = tuple(a.reshape((W // B, B) + a.shape[1:])
@@ -844,8 +845,8 @@ def build_region_kernel(spec: WindowKernelSpec):
 
         def body(_, xs):
             mi, ui, z1, mm, um = xs
-            Gm = jnp.take(G_dev, mi, axis=0)
-            Gu = jnp.take(G_dev, ui, axis=0)
+            Gm = take_rows(G_dev, mi)
+            Gu = take_rows(G_dev, ui)
             return None, impute(Gm, Gu, z1, mm, um)
 
         xs = tuple(a.reshape((W // B, B) + a.shape[1:])
@@ -855,6 +856,179 @@ def build_region_kernel(spec: WindowKernelSpec):
                 info.reshape((W,) + info.shape[2:]))
 
     return fn
+
+
+def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
+    """Gather-free region kernel over bp-sorted RESIDENT panels.
+
+    The gather-based region kernel pays ~10x its bytes to materialize
+    each window's rows (int8 HBM arrays are (32, 128)-tiled, so row
+    gathers are massively read-amplified -- measured 58 GB/s effective
+    vs ~800 GB/s peak).  But windows are CONTIGUOUS bp ranges, so after
+    partitioning the panel rows into a measured array Xm (type 1,
+    bp-sorted) and an unmeasured array Xu (type 0, bp-sorted), every
+    window is a contiguous row band of each -- and the Pallas Gram can
+    stream those bands straight from HBM via ROW_TILE-aligned block
+    offsets (weighted_gram_t1 offset mode).  Nothing is gathered,
+    nothing is re-shifted: the integer shifts c = round(mean) are
+    per-ROW quantities, so the shifted dosages and all per-row
+    statistics are computed ONCE at preparation:
+
+      Xm/Xu  [RM/RU, S] int8   shifted dosages (prepare_resident_panel)
+      Spm/Spu [., P]   f32     shifted per-pop row sums S' = S - m*c
+      Mum/Muu [., P]   f32     per-pop row means
+      Vu      [RU]     f32     sum_k alpha_k (m_k Q_k - S_k^2) per row
+
+    Per window only 5 scalars/vectors cross the host link: the two
+    ROW_TILE-unit band offsets, Z1 and the two masks (which also mask
+    out the neighbouring windows' rows inside the aligned bands).
+    Returns jitted (Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0 [W], u_t0 [W],
+    Z1 [W, Mp], m_mask, u_mask) -> (z [W, Up], info [W, Up]).
+    Reference cost anchor: /root/reference/src/distmix.cpp:179-236.
+    """
+    from . import pallas_gram as pg
+
+    if spec.wgts is None:
+        raise ValueError("resident region kernel is the weighted "
+                         "(distmix) fast path")
+    P = len(spec.pop_sizes)
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w64 = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = jnp.asarray((w64 * m / (m - 1.0)).astype(np.float32))
+    w = jnp.asarray(w64, dtype=jnp.float32)
+    R = pg.ROW_TILE
+    interpret = jax.default_backend() == "cpu"
+
+    def one_window(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1,
+                   m_mask, u_mask):
+        t1_mm = pg.weighted_gram_t1(
+            Xm, Xm, spec.pop_sizes, spec.pop_sizes_padded, spec.wgts,
+            n_sym=Mp // R, interpret=interpret, nx=Mp, ny=Mp,
+            x_tile0=m_t0, y_tile0=m_t0)
+        t1_um = pg.weighted_gram_t1(
+            Xu, Xm, spec.pop_sizes, spec.pop_sizes_padded, spec.wgts,
+            n_sym=0, interpret=interpret, nx=Up, ny=Mp,
+            x_tile0=u_t0, y_tile0=m_t0)
+        zero = jnp.zeros((), m_t0.dtype)
+        mr = m_t0 * R
+        ur = u_t0 * R
+        sxm = jax.lax.dynamic_slice(Spm, (mr, zero), (Mp, P))
+        sxu = jax.lax.dynamic_slice(Spu, (ur, zero), (Up, P))
+        mu_m = jax.lax.dynamic_slice(Mum, (mr, zero), (Mp, P))
+        mu_u = jax.lax.dynamic_slice(Muu, (ur, zero), (Up, P))
+        vu_big = jax.lax.dynamic_slice(Vu, (ur,), (Up,))
+        t2_mm = jnp.dot(sxm * alpha[None, :], sxm.T, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        t2_um = jnp.dot(sxu * alpha[None, :], sxm.T, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        big_mm = pg.mirror_lower(t1_mm) - t2_mm
+        big_um = t1_um - t2_um
+
+        # mean-product terms + normalization (CalWgtCov tail,
+        # src/util.cpp:103-124), identical to window_corr_blocks
+        mi_m = mu_m @ w
+        mi_u = mu_u @ w
+        mimj_mm = jnp.einsum("mp,p,np->mn", mu_m, w, mu_m)
+        mimj_um = jnp.einsum("up,p,mp->um", mu_u, w, mu_m)
+        cov_mm = (big_mm + mimj_mm) - mi_m[:, None] * mi_m[None, :]
+        cov_um = (big_um + mimj_um) - mi_u[:, None] * mi_m[None, :]
+        var_m = jnp.diagonal(cov_mm)
+        var_u = (vu_big + (mu_u * mu_u) @ w) - mi_u * mi_u
+        std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m, 1.0))
+        std_u = jnp.sqrt(jnp.where(u_mask > 0, var_u, 1.0))
+        B11 = cov_mm / (std_m[:, None] * std_m[None, :])
+        B21 = cov_um / (std_u[:, None] * std_m[None, :])
+        mm2 = (m_mask[:, None] * m_mask[None, :]).astype(B11.dtype)
+        B11 = B11 * mm2
+        eye = jnp.eye(Mp, dtype=B11.dtype)
+        B11 = B11 * (1.0 - eye) + (1.0 + spec.lam) * eye
+        B21 = B21 * (u_mask[:, None] * m_mask[None, :]).astype(B21.dtype)
+        return B11.astype(jnp.float32), B21.astype(jnp.float32)
+
+    @jax.jit
+    def fn(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1, m_mask,
+           u_mask):
+        W = m_t0.shape[0]
+        B = next(b for b in (4, 2, 1) if W % b == 0)
+
+        def body(_, xs):
+            mt, ut, z1, mmk, umk = xs
+            B11_l, B21_l = [], []
+            for i in range(B):
+                B11, B21 = one_window(Xm, Xu, Spm, Spu, Mum, Muu, Vu,
+                                      mt[i], ut[i], z1[i], mmk[i], umk[i])
+                B11_l.append(B11)
+                B21_l.append(B21)
+            B11f = jnp.stack(B11_l)
+            B21f = jnp.stack(B21_l)
+            L = jnp.linalg.cholesky(B11f)
+            X = jax.scipy.linalg.cho_solve((L, True),
+                                           B21f.transpose(0, 2, 1))
+            A = X.transpose(0, 2, 1)
+            z2 = jnp.einsum("wum,wm->wu", A, z1.astype(jnp.float32),
+                            preferred_element_type=jnp.float32)
+            info = jnp.abs(jnp.einsum("wum,wum->wu", A, B21f,
+                                      preferred_element_type=jnp.float32))
+            return None, (z2 / jnp.sqrt(info), info)
+
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
+                   for a in (m_t0, u_t0, Z1, m_mask, u_mask))
+        _, (z, info) = jax.lax.scan(body, None, xs)
+        return (z.reshape((W,) + z.shape[2:]),
+                info.reshape((W,) + info.shape[2:]))
+
+    return fn
+
+
+@partial(jax.jit, static_argnames=("spec", "n_rows"))
+def prepare_resident_panel(G_dev, rows, n_rows: int,
+                           spec: WindowKernelSpec):
+    """One-time transform for the resident region kernel: gather the
+    bp-sorted row subset (a one-time cost), zero the padding rows, and
+    precompute shifted dosages + per-row statistics.
+
+    rows: [RN] int32 panel row ids, entries >= n_rows are padding.
+    Returns (X_shifted [RN, S] int8, Sp [RN, P] f32, Mu [RN, P] f32,
+    V [RN] f32) with the exact int32 arithmetic of
+    _pallas_weighted_stats (shifts c = round(mean) in {0,1,2})."""
+    bounds = spec.bounds
+    P = len(spec.pop_sizes)
+    S = int(bounds[-1])
+    m_i32 = jnp.asarray(np.asarray(spec.pop_sizes, np.int32))
+    mf = jnp.asarray(np.asarray(spec.pop_sizes, np.float32))
+    m64 = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w64 = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = jnp.asarray((w64 * m64 / (m64 - 1.0)).astype(np.float32))
+
+    pop_idx = np.zeros(S, dtype=np.int32)
+    valid = np.zeros(S, dtype=np.int8)
+    onehot = np.zeros((S, P), dtype=np.int8)
+    for k in range(P):
+        lo = int(bounds[k])
+        pop_idx[lo:lo + int(spec.pop_sizes_padded[k])] = k
+        valid[lo:lo + int(spec.pop_sizes[k])] = 1
+        onehot[lo:lo + int(spec.pop_sizes[k]), k] = 1
+    onehot_d = jnp.asarray(onehot)
+    valid_d = jnp.asarray(valid)
+    pop_idx_d = jnp.asarray(pop_idx)
+
+    X = take_rows(G_dev, rows)
+    real = (jnp.arange(rows.shape[0]) < n_rows).astype(jnp.int8)
+    X = X * real[:, None]
+    dn = (((1,), (0,)), ((), ()))
+    Ssum = jax.lax.dot_general(X, onehot_d, dn,
+                               preferred_element_type=jnp.int32)
+    Q = jax.lax.dot_general(X * X, onehot_d, dn,
+                            preferred_element_type=jnp.int32)
+    c = jnp.clip(jnp.round(Ssum.astype(jnp.float32) / mf), 0, 2
+                 ).astype(jnp.int32)
+    Sp = (Ssum - m_i32 * c).astype(jnp.float32)
+    cs = jnp.take(c.astype(jnp.int8), pop_idx_d, axis=1)
+    X_shift = (X - cs) * valid_d[None, :] * real[:, None]
+    Mu = Ssum.astype(jnp.float32) / mf
+    d = m_i32 * Q - Ssum * Ssum                      # exact int32
+    V = d.astype(jnp.float32) @ alpha
+    return X_shift, Sp, Mu, V
 
 
 def build_gather_window_kernel(spec: WindowKernelSpec):
@@ -871,7 +1045,7 @@ def build_gather_window_kernel(spec: WindowKernelSpec):
     row gather over the whole panel into the window program makes XLA's
     fusion search pathologically slow (~6x compile time observed).
     """
-    gather = jax.jit(lambda G, idx: jnp.take(G, idx, axis=0))
+    gather = jax.jit(take_rows)
     impute = jax.jit(partial(window_impute, spec=spec))
 
     def fn(G_dev, m_idx, u_idx, Z1, m_mask, u_mask):

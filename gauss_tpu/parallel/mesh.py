@@ -24,6 +24,7 @@ import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..core import stats
+from ..ops.dma_gather import take_rows
 from ..ops.window_kernel import (WindowKernelSpec, pad_pop_segments,
                                  window_corr, window_impute, window_qcat)
 
@@ -94,8 +95,8 @@ def build_sharded_region_kernel(spec: WindowKernelSpec, mesh: Mesh):
 
         def body(_, xs):
             mi1, ui1, z11, mm1, um1 = xs
-            Gm = jnp.take(G, mi1, axis=0)
-            Gu = jnp.take(G, ui1, axis=0)
+            Gm = take_rows(G, mi1)
+            Gu = take_rows(G, ui1)
             return None, impute(Gm, Gu, z11, mm1, um1, subject_valid=sv)
 
         xs = tuple(a.reshape((W // B, B) + a.shape[1:])
@@ -137,8 +138,8 @@ def build_sharded_qcat_region_kernel(spec: WindowKernelSpec, mesh: Mesh):
 
         def body(_, xs):
             mi1, ui1, z11, mm1, um1 = xs
-            Gm = jnp.take(G, mi1, axis=0)
-            Gu = jnp.take(G, ui1, axis=0)
+            Gm = take_rows(G, mi1)
+            Gu = take_rows(G, ui1)
             return None, qcat(Gm, Gu, z11, mm1, um1, subject_valid=sv)
 
         xs = tuple(a.reshape((W // B, B) + a.shape[1:])
@@ -176,7 +177,7 @@ def build_sharded_ld_kernel(spec: WindowKernelSpec, mesh: Mesh,
     valid = jnp.asarray(subject_valid_layout(spec.pop_sizes, n_sub))
 
     def fn(G, mi, mm, sv):
-        Gm = jnp.take(G, mi, axis=0)
+        Gm = take_rows(G, mi)
         corr = window_corr(Gm, mm, spec, axis_name="subject",
                            subject_valid=sv)
         return pack_tri_i16(corr) if fetch == "i16tri" else corr

@@ -81,7 +81,7 @@ def main():
     def dyn_slice(G, st):
         def body(_, xs1):
             (s,) = xs1
-            blocks = [jax.lax.dynamic_slice(G, (s[i], 0), (Np, S))
+            blocks = [jax.lax.dynamic_slice(G, (s[i], jnp.int32(0)), (Np, S))
                       for i in range(B)]
             X = jnp.stack(blocks)
             return None, jnp.sum(X.astype(jnp.int32), axis=(1, 2))
@@ -96,7 +96,7 @@ def main():
     def slice_then_gather(G, st, li):
         def body(_, x):
             s, li1 = x
-            blocks = [jax.lax.dynamic_slice(G, (s[i], 0), (Np, S))
+            blocks = [jax.lax.dynamic_slice(G, (s[i], jnp.int32(0)), (Np, S))
                       for i in range(B)]
             X = jnp.stack(blocks)
             Xg = jnp.take_along_axis(X, li1[:, :, None], axis=1)

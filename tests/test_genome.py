@@ -341,3 +341,43 @@ def test_ld_i16tri_fetch_bound(store, synpanel, gwas_input):
     assert len(ra) == len(rb) > 0
     for x, y in zip(ra, rb):
         assert np.abs(x["cormat"] - y["cormat"]).max() <= LD_I16_MAX_ERR + 1e-12
+
+
+def test_resident_region_matches_gather_region(store, synpanel, gwas_input):
+    """The gather-free resident region kernel (bp-sorted panels +
+    Pallas block-offset streaming) must reproduce the gather-based
+    region scan.  Forced on for CPU via region_mode='resident'
+    (interpret-mode Pallas)."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=(hi - lo) // 3)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    kw = dict(window_bp=(hi - lo) // 3 + 1, wing_size=(hi - lo) // 3)
+
+    run_r = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                         region_mode="resident").prepare_mix(
+        inp, pop_wgt, af1_cutoff=0.01)
+    df_r = run_r.impute_region(lo, hi, **kw)
+
+    run_g = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                         region_mode="gather").prepare_mix(
+        inp, pop_wgt, af1_cutoff=0.01)
+    df_g = run_g.impute_region(lo, hi, **kw)
+
+    assert len(df_r) == len(df_g) > 0
+    assert (df_r["rsid"].to_numpy() == df_g["rsid"].to_numpy()).all()
+    imp = df_g["type"].to_numpy() == 0
+    assert imp.sum() > 0
+    np.testing.assert_allclose(df_r["z"].to_numpy()[imp],
+                               df_g["z"].to_numpy()[imp],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(df_r["info"].to_numpy()[imp],
+                               df_g["info"].to_numpy()[imp],
+                               rtol=2e-4, atol=2e-5)
+    # kernel-only probe drives the same batch contract
+    sec, plans = run_r.region_kernel_seconds(lo, hi, **kw, repeats=1)
+    assert sec is not None and len(plans) >= 2

@@ -221,3 +221,19 @@ def test_sharded_region_matches_single_device():
     np.testing.assert_allclose(np.asarray(info)[real],
                                np.asarray(info1)[real],
                                rtol=5e-4, atol=5e-5)
+
+
+def test_dma_gather_rows_fallback_and_shapes():
+    """take_rows == jnp.take on the CPU fallback, any idx shape,
+    including non-multiple-of-ROWS_PER_STEP lengths."""
+    import jax.numpy as jnp
+    from gauss_tpu.ops.dma_gather import gather_rows, take_rows
+    rng = np.random.default_rng(1)
+    G = rng.integers(0, 3, size=(100, 16), dtype=np.int8)
+    Gd = jnp.asarray(G)
+    idx = rng.integers(0, 100, size=(3, 5, 7)).astype(np.int32)
+    out = np.asarray(take_rows(Gd, jnp.asarray(idx)))
+    np.testing.assert_array_equal(out, G[idx])
+    flat = rng.integers(0, 100, size=(37,)).astype(np.int32)
+    np.testing.assert_array_equal(np.asarray(gather_rows(Gd, jnp.asarray(flat))),
+                                  G[flat])
