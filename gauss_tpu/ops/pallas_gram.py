@@ -50,13 +50,12 @@ from jax.experimental.pallas import tpu as pltpu
 
 import os
 
-# Subject-axis tile; population segments pad to this.  128 (the MXU
-# lane width, the minimum legal int8 lane tile) keeps per-population
-# zero padding to <64 columns on average: at 512 the 29 x ~1.1k-subject
-# 33KG segments padded the subject axis by ~30%, and the kernel is
-# HBM-bound, so padding is wall-clock.  GAUSS_K_TILE overrides for
-# tuning experiments.
-K_TILE = int(os.environ.get("GAUSS_K_TILE", 128))
+# Subject-axis tile; population segments pad to this.  Measured on the
+# region kernel (16 windows, 33k subjects, probe4): K=512/R=256 91.9 ms
+# beats K=128/R=256 133 ms (smaller DMAs cost more than the ~20% less
+# zero padding saves) and K=512/R=512 96.8 ms.  GAUSS_K_TILE /
+# GAUSS_ROW_TILE override for tuning experiments.
+K_TILE = int(os.environ.get("GAUSS_K_TILE", 512))
 ROW_TILE = int(os.environ.get("GAUSS_ROW_TILE", 256))
 
 
