@@ -767,6 +767,23 @@ class PreparedRun:
             u_maskb[i, :U] = 1.0
         if mesh is not None:
             panel, fn = self._mesh_fn("qcat")
+            outs = fn(panel, m_idx, u_idx, Z1b, m_maskb, u_maskb)
+            plans_loc = [(lo, hi, plan, (0, 0)) for lo, hi, plan in plans]
+        elif self.engine._use_resident(self.wgts):
+            # gather-free resident streaming (same contiguity argument
+            # as impute_region; see build_resident_qcat_kernel)
+            plans_loc, inputs, Mp_r, Up_r = self._resident_batch_from_plans(
+                plans, zcol)
+            arrays = self._resident_arrays(Mp_r, Up_r)
+            key = ("resident_qcat", Mp_r, Up_r, self.pop_sizes, self.wgts)
+            fn = self.engine._fused_fns.get(key)
+            if fn is None:
+                from ..ops.window_kernel import build_resident_qcat_kernel
+                fn = build_resident_qcat_kernel(
+                    self.engine._spec(self.pop_sizes, self.wgts),
+                    Mp_r, Up_r)
+                self.engine._fused_fns[key] = fn
+            outs = fn(*arrays, *inputs)
         else:
             panel = self._device_panel()
             key = ("qcat_region", self.pop_sizes, self.wgts)
@@ -775,24 +792,24 @@ class PreparedRun:
                 fn = build_qcat_region_kernel(
                     self.engine._spec(self.pop_sizes, self.wgts))
                 self.engine._fused_fns[key] = fn
-        t_m, chi_m, t_u, chi_u, n_eig = (
-            np.asarray(a) for a in fn(panel, m_idx, u_idx,
-                                      Z1b, m_maskb, u_maskb))
+            outs = fn(panel, m_idx, u_idx, Z1b, m_maskb, u_maskb)
+            plans_loc = [(lo, hi, plan, (0, 0)) for lo, hi, plan in plans]
+        t_m, chi_m, t_u, chi_u, n_eig = (np.asarray(a) for a in outs)
 
         qm = np.zeros(len(t), dtype=np.int64)
         qt = np.zeros(len(t))
         qc = np.zeros(len(t))
         emit = np.zeros(len(t), dtype=bool)
-        for i, (lo, hi, plan) in enumerate(plans):
+        for i, (lo, hi, plan, (mloc, uloc)) in enumerate(plans_loc):
             m_rows, u_rows, M, U, *_ = plan
             pm = (bp[m_rows] >= lo) & (bp[m_rows] <= hi)
             rows = m_rows[pm]
             qm[rows] = int(n_eig[i])
-            qt[rows] = t_m[i, :M][pm].astype(np.float64)
-            qc[rows] = chi_m[i, :M][pm].astype(np.float64)
+            qt[rows] = t_m[i, mloc:mloc + M][pm].astype(np.float64)
+            qc[rows] = chi_m[i, mloc:mloc + M][pm].astype(np.float64)
             qm[u_rows] = int(n_eig[i])
-            qt[u_rows] = t_u[i, :U].astype(np.float64)
-            qc[u_rows] = chi_u[i, :U].astype(np.float64)
+            qt[u_rows] = t_u[i, uloc:uloc + U].astype(np.float64)
+            qc[u_rows] = chi_u[i, uloc:uloc + U].astype(np.float64)
             emit |= (bp >= lo) & (bp <= hi)
         tt = t[emit]
         sel = np.flatnonzero(emit)
@@ -841,6 +858,48 @@ class PreparedRun:
                      "caps": (Mp, Up)}
         return self._res["arrays"]
 
+    def _resident_batch_from_plans(self, plans, zcol):
+        """Per-window band offsets + padded Z1/mask batch for the
+        resident kernels.  Windows select bp ranges of the bp-sorted
+        table, so their rows are contiguous runs of the measured /
+        unmeasured row lists (asserted)."""
+        from ..ops.pallas_gram import ROW_TILE as R
+        t = self.table
+        typ = t["type"].to_numpy()
+        m_all = np.flatnonzero(typ == 1)
+        u_all = np.flatnonzero(typ == 0)
+        entries = []
+        for lo, hi, plan in plans:
+            m_rows, u_rows, M, U, *_ = plan
+            mpos = int(np.searchsorted(m_all, m_rows[0]))
+            upos = int(np.searchsorted(u_all, u_rows[0]))
+            assert m_all[mpos + M - 1] == m_rows[-1], "non-contiguous"
+            assert u_all[upos + U - 1] == u_rows[-1], "non-contiguous"
+            mt0, ut0 = mpos // R, upos // R
+            entries.append((mpos - mt0 * R, upos - ut0 * R, mt0, ut0))
+        Mp = _round_up(max(e[0] + p[2][2]
+                           for e, p in zip(entries, plans)), R)
+        Up = _round_up(max(e[1] + p[2][3]
+                           for e, p in zip(entries, plans)), R)
+        W = len(plans)
+        Wp = _round_up(W, self.engine.window_bucket)
+        m_t0 = np.zeros(Wp, dtype=np.int32)
+        u_t0 = np.zeros(Wp, dtype=np.int32)
+        Z1b = np.zeros((Wp, Mp))
+        m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+        u_maskb = np.zeros((Wp, Up), dtype=np.float32)
+        plans_out = []
+        for i, ((mloc, uloc, mt0, ut0), (lo, hi, plan)) in enumerate(
+                zip(entries, plans)):
+            m_rows, u_rows, M, U, *_ = plan
+            m_t0[i] = mt0
+            u_t0[i] = ut0
+            Z1b[i, mloc:mloc + M] = zcol[m_rows]
+            m_maskb[i, mloc:mloc + M] = 1.0
+            u_maskb[i, uloc:uloc + U] = 1.0
+            plans_out.append((lo, hi, plan, (mloc, uloc)))
+        return plans_out, (m_t0, u_t0, Z1b, m_maskb, u_maskb), Mp, Up
+
     def _region_batch(self, start_bp: int, end_bp: int, window_bp: int,
                       wing_size: int):
         """Plans + padded batch inputs + compiled kernel for the
@@ -869,48 +928,12 @@ class PreparedRun:
         mesh = self.engine.mesh
 
         if self.engine._use_resident(self.wgts):
-            from ..ops.pallas_gram import ROW_TILE as R
-            t = self.table
-            typ = t["type"].to_numpy()
-            m_all = np.flatnonzero(typ == 1)
-            u_all = np.flatnonzero(typ == 0)
-            entries = []
-            for lo, hi, plan in plans:
-                m_rows, u_rows, M, U, *_ = plan
-                mpos = int(np.searchsorted(m_all, m_rows[0]))
-                upos = int(np.searchsorted(u_all, u_rows[0]))
-                # windows select bp ranges of the bp-sorted table, so
-                # their rows are contiguous runs of m_all/u_all
-                assert m_all[mpos + M - 1] == m_rows[-1], "non-contiguous"
-                assert u_all[upos + U - 1] == u_rows[-1], "non-contiguous"
-                mt0, ut0 = mpos // R, upos // R
-                entries.append((mpos - mt0 * R, upos - ut0 * R, mt0, ut0))
-            Mp = _round_up(max(e[0] + p[2][2]
-                               for e, p in zip(entries, plans)), R)
-            Up = _round_up(max(e[1] + p[2][3]
-                               for e, p in zip(entries, plans)), R)
-            W = len(plans)
-            Wp = _round_up(W, self.engine.window_bucket)
-            m_t0 = np.zeros(Wp, dtype=np.int32)
-            u_t0 = np.zeros(Wp, dtype=np.int32)
-            Z1b = np.zeros((Wp, Mp))
-            m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
-            u_maskb = np.zeros((Wp, Up), dtype=np.float32)
-            plans_out = []
-            for i, ((mloc, uloc, mt0, ut0), (lo, hi, plan)) in enumerate(
-                    zip(entries, plans)):
-                m_rows, u_rows, M, U, *_ = plan
-                m_t0[i] = mt0
-                u_t0[i] = ut0
-                Z1b[i, mloc:mloc + M] = zcol[m_rows]
-                m_maskb[i, mloc:mloc + M] = 1.0
-                u_maskb[i, uloc:uloc + U] = 1.0
-                plans_out.append((lo, hi, plan, (mloc, uloc)))
+            plans_out, inputs, Mp, Up = self._resident_batch_from_plans(
+                plans, zcol)
             arrays = self._resident_arrays(Mp, Up)
             fn = self.engine._resident_fn(Mp, Up, self.pop_sizes,
                                           self.wgts)
-            return plans_out, (m_t0, u_t0, Z1b, m_maskb, u_maskb), \
-                arrays, fn
+            return plans_out, inputs, arrays, fn
 
         Mp = max(p[2][4] for p in plans)
         Up = max(p[2][5] for p in plans)
@@ -943,13 +966,21 @@ class PreparedRun:
     def region_kernel_seconds(self, start_bp: int, end_bp: int,
                               window_bp: int = 1_000_000,
                               wing_size: int = 500_000,
-                              repeats: int = 3):
+                              repeats: int = 3,
+                              inner_repeats: int = 0):
         """Bench instrumentation: median seconds for ONE region-kernel
         execution, synchronized by fetching an on-device scalar (a
         host fetch of the full output would measure the host link, and
         block_until_ready is unreliable over tunneled transports).
         Includes one dispatch round trip; excludes host batch build and
-        output assembly.  Returns (seconds, plans)."""
+        output assembly.  Returns (seconds, plans).
+
+        ``inner_repeats > 1`` additionally measures the kernel run
+        ``inner_repeats`` times INSIDE one dispatch (a lax.scan whose
+        carry perturbs Z1 so XLA cannot hoist the body) and returns
+        ((one_dispatch_seconds, device_only_seconds), plans) -- the
+        slope separates true device time from the per-dispatch
+        round-trip latency (~25-60 ms on tunneled transports)."""
         import time as _time
         batch = self._region_batch(start_bp, end_bp, window_bp, wing_size)
         if batch is None:
@@ -957,13 +988,37 @@ class PreparedRun:
         plans, inputs, panel, fn = batch
         sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.float32))
                        + jnp.sum(b.astype(jnp.float32)))
-        times = []
-        for _ in range(repeats):
-            t0 = _time.time()
-            z, info = fn(*panel, *inputs)
-            float(sync(z, info))
-            times.append(_time.time() - t0)
-        return sorted(times)[len(times) // 2], plans
+
+        def timed(f):
+            times = []
+            f(*panel, *inputs)  # compile
+            for _ in range(repeats):
+                t0 = _time.time()
+                z, info = f(*panel, *inputs)
+                float(sync(z, info))
+                times.append(_time.time() - t0)
+            return sorted(times)[len(times) // 2]
+
+        t1 = timed(fn)
+        if inner_repeats <= 1:
+            return t1, plans
+
+        n_panel = len(panel)
+
+        @jax.jit
+        def fn_rep(*args):
+            def step(c, _):
+                eps = jnp.minimum(c, 0.0)   # runtime 0, not foldable
+                a = list(args)
+                a[n_panel + 2] = a[n_panel + 2] + eps
+                z, info = fn(*a)
+                return c + jnp.sum(z) + jnp.sum(info), None
+            out, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
+                                  None, length=inner_repeats)
+            return out, out
+        tn = timed(fn_rep)
+        device_only = (tn - t1) / (inner_repeats - 1)
+        return (t1, device_only), plans
 
     def impute_region(self, start_bp: int, end_bp: int,
                       window_bp: int = 1_000_000,

@@ -858,8 +858,9 @@ def build_region_kernel(spec: WindowKernelSpec):
     return fn
 
 
-def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
-    """Gather-free region kernel over bp-sorted RESIDENT panels.
+def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
+    """Shared core of the resident kernels: per-window (B11, B21)
+    correlation blocks streamed from resident panels.
 
     The gather-based region kernel pays ~10x its bytes to materialize
     each window's rows (int8 HBM arrays are (32, 128)-tiled, so row
@@ -945,6 +946,15 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
         B21 = B21 * (u_mask[:, None] * m_mask[None, :]).astype(B21.dtype)
         return B11.astype(jnp.float32), B21.astype(jnp.float32)
 
+    return one_window
+
+
+def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
+    """Scan a resident-block computation over window batches;
+    ``tail(B11f, B21f, z1, mmk, umk)`` maps the stacked [B, ...]
+    correlation blocks to that batch's outputs."""
+    one_window = _resident_block_builder(spec, Mp, Up)
+
     @jax.jit
     def fn(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1, m_mask,
            u_mask):
@@ -959,25 +969,61 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
                                       mt[i], ut[i], z1[i], mmk[i], umk[i])
                 B11_l.append(B11)
                 B21_l.append(B21)
-            B11f = jnp.stack(B11_l)
-            B21f = jnp.stack(B21_l)
-            L = jnp.linalg.cholesky(B11f)
-            X = jax.scipy.linalg.cho_solve((L, True),
-                                           B21f.transpose(0, 2, 1))
-            A = X.transpose(0, 2, 1)
-            z2 = jnp.einsum("wum,wm->wu", A, z1.astype(jnp.float32),
-                            preferred_element_type=jnp.float32)
-            info = jnp.abs(jnp.einsum("wum,wum->wu", A, B21f,
-                                      preferred_element_type=jnp.float32))
-            return None, (z2 / jnp.sqrt(info), info)
+            return None, tail(jnp.stack(B11_l), jnp.stack(B21_l),
+                              z1, mmk, umk)
 
         xs = tuple(a.reshape((W // B, B) + a.shape[1:])
                    for a in (m_t0, u_t0, Z1, m_mask, u_mask))
-        _, (z, info) = jax.lax.scan(body, None, xs)
-        return (z.reshape((W,) + z.shape[2:]),
-                info.reshape((W,) + info.shape[2:]))
+        _, outs = jax.lax.scan(body, None, xs)
+        return jax.tree_util.tree_map(
+            lambda o: o.reshape((W,) + o.shape[2:]), outs)
 
     return fn
+
+
+def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
+                                 Up: int):
+    """Resident distmix imputation (see _resident_block_builder)."""
+    def tail(B11f, B21f, z1, mmk, umk):
+        L = jnp.linalg.cholesky(B11f)
+        X = jax.scipy.linalg.cho_solve((L, True),
+                                       B21f.transpose(0, 2, 1))
+        A = X.transpose(0, 2, 1)
+        z2 = jnp.einsum("wum,wm->wu", A, z1.astype(jnp.float32),
+                        preferred_element_type=jnp.float32)
+        info = jnp.abs(jnp.einsum("wum,wum->wu", A, B21f,
+                                  preferred_element_type=jnp.float32))
+        return (z2 / jnp.sqrt(info), info)
+
+    return _resident_scan(spec, Mp, Up, tail)
+
+
+def build_resident_qcat_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
+    """Resident qcatmix tests (the qcat tail of window_qcat over
+    resident-streamed correlation blocks; src/qcatmix.cpp:145-286)."""
+    if spec.lam <= spec.eig_cutoff:
+        raise ValueError(
+            f"device qcat requires lambda ({spec.lam}) > eig_cutoff "
+            f"({spec.eig_cutoff}); use the host qcat path")
+
+    def tail(B11f, B21f, z1, mmk, umk):
+        n = jnp.sum(mmk, axis=1)                          # = num_eig
+        L = jnp.linalg.cholesky(B11f)
+        Zt = jax.scipy.linalg.solve_triangular(
+            L, z1.astype(jnp.float32)[:, :, None], lower=True)[:, :, 0]
+        Xm = jax.scipy.linalg.solve_triangular(L, B11f, lower=True)
+        Xu = jax.scipy.linalg.solve_triangular(
+            L, B21f.transpose(0, 2, 1), lower=True)
+        scale2 = jnp.maximum(n - 3.0, 0.0)
+        r_m = _masked_column_corr(Zt, Xm, mmk, n)
+        r_u = _masked_column_corr(Zt, Xu, mmk, n)
+        return (jnp.sqrt(scale2)[:, None] * r_m,
+                scale2[:, None] * r_m * r_m,
+                jnp.sqrt(scale2)[:, None] * r_u,
+                scale2[:, None] * r_u * r_u,
+                n)
+
+    return _resident_scan(spec, Mp, Up, tail)
 
 
 @partial(jax.jit, static_argnames=("spec", "n_rows"))

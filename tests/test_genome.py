@@ -381,3 +381,31 @@ def test_resident_region_matches_gather_region(store, synpanel, gwas_input):
     # kernel-only probe drives the same batch contract
     sec, plans = run_r.region_kernel_seconds(lo, hi, **kw, repeats=1)
     assert sec is not None and len(plans) >= 2
+
+
+def test_resident_qcat_matches_gather_qcat(store, synpanel, gwas_input):
+    """Resident-streamed qcat_region == gather-based qcat_region."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=(hi - lo) // 3)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    kw = dict(window_bp=(hi - lo) // 3 + 1, wing_size=(hi - lo) // 3)
+
+    q_r = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                       region_mode="resident").prepare_mix(
+        inp, pop_wgt, af1_cutoff=0.05).qcat_region(lo, hi, **kw)
+    q_g = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                       region_mode="gather").prepare_mix(
+        inp, pop_wgt, af1_cutoff=0.05).qcat_region(lo, hi, **kw)
+    assert len(q_r) == len(q_g) > 0
+    assert (q_r["qcat_m"].to_numpy() == q_g["qcat_m"].to_numpy()).all()
+    np.testing.assert_allclose(q_r["qcat_t"].to_numpy(),
+                               q_g["qcat_t"].to_numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(q_r["qcat_chisq"].to_numpy(),
+                               q_g["qcat_chisq"].to_numpy(),
+                               rtol=2e-4, atol=2e-5)
