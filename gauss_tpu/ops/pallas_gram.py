@@ -85,6 +85,42 @@ def _kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
         o_ref[:] = facc[:]
 
 
+def _kernel_xrows(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
+                  xt_ref, yt_ref, x_ref, y_ref, o_ref, cacc, facc):
+    """Whole-row-band x variant: x_ref holds the full [ROW_TILE, S]
+    band in VMEM, so consecutive grid steps with the same x row tile
+    (pair_tables is i-major) never re-fetch it -- the dominant HBM
+    stream drops from 2 tiles/step to ~1."""
+    t = pl.program_id(1)
+    nt = pl.num_programs(1)
+
+    @pl.when(t == 0)
+    def _():
+        facc[:] = jnp.zeros_like(facc)
+
+    @pl.when(first_ref[t] == 1)
+    def _():
+        cacc[:] = jnp.zeros_like(cacc)
+
+    xk = x_ref[:, pl.ds(t * K_TILE, K_TILE)]
+    cacc[:] += jax.lax.dot_general(
+        xk, y_ref[:], (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+
+    @pl.when(last_ref[t] == 1)
+    def _():
+        facc[:] += beta_ref[t] * cacc[:].astype(jnp.float32)
+
+    @pl.when(t == nt - 1)
+    def _():
+        o_ref[:] = facc[:]
+
+
+#: VMEM budget for the whole-row x band (leave room for y double
+#: buffering + accumulators + the output tile)
+_XROWS_VMEM_CAP = int(os.environ.get("GAUSS_XROWS_CAP", 12 * 2**20))
+
+
 def tile_tables(pop_sizes_padded: Sequence[int], pop_sizes: Sequence[int],
                 wgts: Sequence[float]
                 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -169,14 +205,22 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
         raise ValueError("pop_sizes_padded does not match subject axis")
     pi, pj = pair_tables(n_sym, nx // ROW_TILE, ny // ROW_TILE)
 
+    xrows = ROW_TILE * S <= _XROWS_VMEM_CAP
+    if xrows:
+        x_spec = pl.BlockSpec((ROW_TILE, S),
+                              lambda g, t, f, l, b, pi, pj, xt, yt:
+                              (xt[0] + pi[g], 0),
+                              memory_space=pltpu.VMEM)
+    else:
+        x_spec = pl.BlockSpec((ROW_TILE, K_TILE),
+                              lambda g, t, f, l, b, pi, pj, xt, yt:
+                              (xt[0] + pi[g], t),
+                              memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
         grid=(len(pi), T),
         in_specs=[
-            pl.BlockSpec((ROW_TILE, K_TILE),
-                         lambda g, t, f, l, b, pi, pj, xt, yt:
-                         (xt[0] + pi[g], t),
-                         memory_space=pltpu.VMEM),
+            x_spec,
             pl.BlockSpec((ROW_TILE, K_TILE),
                          lambda g, t, f, l, b, pi, pj, xt, yt:
                          (yt[0] + pj[g], t),
@@ -198,7 +242,7 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     except Exception:  # hint only; param surface varies across versions
         pass
     return pl.pallas_call(
-        _kernel,
+        _kernel_xrows if xrows else _kernel,
         out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
