@@ -910,7 +910,23 @@ class PreparedRun:
         Returns (plans, inputs, panel_pack, fn) with fn(*panel_pack,
         *inputs) -> (z, info); each plans entry is (lo, hi, plan,
         (m_loc, u_loc)) where the locs give the window's row offset
-        inside its padded batch slot (0 on the gather paths)."""
+        inside its padded batch slot (0 on the gather paths).
+
+        The table is immutable after prepare, so the batch is cached
+        per (start, end, window_bp, wing) -- repeated region calls
+        (benchmark passes, resumed runs) skip the host-side plan and
+        mask construction entirely."""
+        ck = (start_bp, end_bp, window_bp, wing_size)
+        hit = self._res.get(("batch", ck))
+        if hit is not None:
+            return hit
+        out = self._region_batch_build(start_bp, end_bp, window_bp,
+                                       wing_size)
+        self._res[("batch", ck)] = out
+        return out
+
+    def _region_batch_build(self, start_bp: int, end_bp: int,
+                            window_bp: int, wing_size: int):
         spans = []
         lo = start_bp
         while lo <= end_bp:

@@ -207,9 +207,15 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
 
     xrows = ROW_TILE * S <= _XROWS_VMEM_CAP
     if xrows:
+        # second block index must stay i32 (a literal 0 traces as i64
+        # under x64 and Mosaic rejects the mixed-type index map).
+        # buffer_count=1: the band changes only once per ~T steps, so
+        # double-buffering it would double the dominant VMEM cost for
+        # an overlap that almost never fires.
         x_spec = pl.BlockSpec((ROW_TILE, S),
                               lambda g, t, f, l, b, pi, pj, xt, yt:
-                              (xt[0] + pi[g], 0),
+                              (xt[0] + pi[g], t * 0),
+                              pipeline_mode=pl.Buffered(buffer_count=1),
                               memory_space=pltpu.VMEM)
     else:
         x_spec = pl.BlockSpec((ROW_TILE, K_TILE),
