@@ -409,3 +409,41 @@ def test_resident_qcat_matches_gather_qcat(store, synpanel, gwas_input):
     np.testing.assert_allclose(q_r["qcat_chisq"].to_numpy(),
                                q_g["qcat_chisq"].to_numpy(),
                                rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("cfg", [
+    # (window divisor, wing divisor, start offset, end offset)
+    (5, 8, 0, 0),          # many small windows, some below min counts
+    (2, 2, 997, -1_003),   # offset region, big wings
+    (1, 6, 12_345, 0),     # single window, asymmetric clipping
+])
+def test_resident_region_boundary_fuzz(store, synpanel, gwas_input, cfg):
+    """Resident == gather across window tilings that exercise the
+    band-offset edges: first/last windows, clipped regions, windows
+    skipped by the reference min-count rule."""
+    from gauss_tpu.io import readers
+    wd, gd, so, eo = cfg
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()) + so, int(bp.max()) + eo
+    span = hi - lo
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=span // gd)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    kw = dict(window_bp=span // wd + 1, wing_size=span // gd)
+
+    dfs = {}
+    for mode in ("resident", "gather"):
+        run = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                           region_mode=mode).prepare_mix(
+            inp, pop_wgt, af1_cutoff=0.01)
+        dfs[mode] = run.impute_region(lo, hi, **kw)
+    a, b = dfs["resident"], dfs["gather"]
+    assert len(a) == len(b)
+    if len(a) == 0:
+        return
+    assert (a["rsid"].to_numpy() == b["rsid"].to_numpy()).all()
+    imp = b["type"].to_numpy() == 0
+    np.testing.assert_allclose(a["z"].to_numpy()[imp],
+                               b["z"].to_numpy()[imp],
+                               rtol=2e-4, atol=2e-5)
