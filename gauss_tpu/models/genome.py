@@ -138,11 +138,12 @@ class GenomeEngine:
         self._fused_fns: Dict = {}
 
     def _use_resident(self, wgts) -> bool:
-        """Gather-free resident region kernel eligibility: weighted,
-        unsharded, Pallas stats (see build_resident_region_kernel).
+        """Gather-free resident region kernel eligibility: unsharded,
+        Pallas stats (see build_resident_region_kernel; wgts=None takes
+        the pooled single-segment mode of _resident_block_builder).
         "auto" skips it on CPU (interpret-mode Pallas is numpy-speed);
         "resident" forces it there for parity tests."""
-        if self.region_mode == "gather" or wgts is None:
+        if self.region_mode == "gather":
             return False
         if self.mesh is not None or self.stats != "pallas":
             return False

@@ -886,28 +886,46 @@ def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
     Returns jitted (Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0 [W], u_t0 [W],
     Z1 [W, Mp], m_mask, u_mask) -> (z [W, Up], info [W, Up]).
     Reference cost anchor: /root/reference/src/distmix.cpp:179-236.
+
+    Pooled mode (spec.wgts is None, the homogeneous dist estimator,
+    CalCor src/util.cpp:49-70): same streaming structure with the whole
+    (padded) subject axis as ONE accumulation group whose weight makes
+    the Pallas fold factor beta = w n^2/(n-1) exactly 1.0f, so T1
+    degenerates to the plain pooled shifted Gram -- an integer-valued
+    f32 accumulation < 2^24, i.e. EXACT -- and the pooled covariance is
+    T1 - S'S'^T/n (shift-invariant identity; the shift c = round(pooled
+    mean) is constant per row, see prepare_resident_panel).
     """
     from . import pallas_gram as pg
 
-    if spec.wgts is None:
-        raise ValueError("resident region kernel is the weighted "
-                         "(distmix) fast path")
+    pooled = spec.wgts is None
     P = len(spec.pop_sizes)
     m = np.asarray(spec.pop_sizes, dtype=np.float64)
-    w64 = np.asarray(spec.wgts, dtype=np.float64)
-    alpha = jnp.asarray((w64 * m / (m - 1.0)).astype(np.float32))
-    w = jnp.asarray(w64, dtype=jnp.float32)
+    if pooled:
+        n = float(m.sum())
+        S_pad = int(sum(spec.pop_sizes_padded))
+        # one segment over the padded axis; (n-1)/n^2 * n^2/(n-1) == 1
+        # to a few f64 ulps -> exactly 1.0 after the f32 cast
+        seg_sizes, seg_padded = (int(n),), (S_pad,)
+        pw = (float((n - 1.0) / (n * n)),)
+        P = 1
+    else:
+        seg_sizes, seg_padded = spec.pop_sizes, spec.pop_sizes_padded
+        pw = spec.wgts
+        w64 = np.asarray(spec.wgts, dtype=np.float64)
+        alpha = jnp.asarray((w64 * m / (m - 1.0)).astype(np.float32))
+        w = jnp.asarray(w64, dtype=jnp.float32)
     R = pg.ROW_TILE
     interpret = jax.default_backend() == "cpu"
 
     def one_window(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1,
                    m_mask, u_mask):
         t1_mm = pg.weighted_gram_t1(
-            Xm, Xm, spec.pop_sizes, spec.pop_sizes_padded, spec.wgts,
+            Xm, Xm, seg_sizes, seg_padded, pw,
             n_sym=Mp // R, interpret=interpret, nx=Mp, ny=Mp,
             x_tile0=m_t0, y_tile0=m_t0)
         t1_um = pg.weighted_gram_t1(
-            Xu, Xm, spec.pop_sizes, spec.pop_sizes_padded, spec.wgts,
+            Xu, Xm, seg_sizes, seg_padded, pw,
             n_sym=0, interpret=interpret, nx=Up, ny=Mp,
             x_tile0=u_t0, y_tile0=m_t0)
         zero = jnp.zeros((), m_t0.dtype)
@@ -915,26 +933,37 @@ def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
         ur = u_t0 * R
         sxm = jax.lax.dynamic_slice(Spm, (mr, zero), (Mp, P))
         sxu = jax.lax.dynamic_slice(Spu, (ur, zero), (Up, P))
-        mu_m = jax.lax.dynamic_slice(Mum, (mr, zero), (Mp, P))
-        mu_u = jax.lax.dynamic_slice(Muu, (ur, zero), (Up, P))
         vu_big = jax.lax.dynamic_slice(Vu, (ur,), (Up,))
-        t2_mm = jnp.dot(sxm * alpha[None, :], sxm.T, precision=_HI,
-                        preferred_element_type=jnp.float32)
-        t2_um = jnp.dot(sxu * alpha[None, :], sxm.T, precision=_HI,
-                        preferred_element_type=jnp.float32)
-        big_mm = pg.mirror_lower(t1_mm) - t2_mm
-        big_um = t1_um - t2_um
+        if pooled:
+            # cov = sum_s x'y' - S'x S'y / n  (= sum (x-xbar)(y-ybar))
+            t2_mm = jnp.dot(sxm * (1.0 / n), sxm.T, precision=_HI,
+                            preferred_element_type=jnp.float32)
+            t2_um = jnp.dot(sxu * (1.0 / n), sxm.T, precision=_HI,
+                            preferred_element_type=jnp.float32)
+            cov_mm = pg.mirror_lower(t1_mm) - t2_mm
+            cov_um = t1_um - t2_um
+            var_m = jnp.diagonal(cov_mm)
+            var_u = vu_big
+        else:
+            mu_m = jax.lax.dynamic_slice(Mum, (mr, zero), (Mp, P))
+            mu_u = jax.lax.dynamic_slice(Muu, (ur, zero), (Up, P))
+            t2_mm = jnp.dot(sxm * alpha[None, :], sxm.T, precision=_HI,
+                            preferred_element_type=jnp.float32)
+            t2_um = jnp.dot(sxu * alpha[None, :], sxm.T, precision=_HI,
+                            preferred_element_type=jnp.float32)
+            big_mm = pg.mirror_lower(t1_mm) - t2_mm
+            big_um = t1_um - t2_um
 
-        # mean-product terms + normalization (CalWgtCov tail,
-        # src/util.cpp:103-124), identical to window_corr_blocks
-        mi_m = mu_m @ w
-        mi_u = mu_u @ w
-        mimj_mm = jnp.einsum("mp,p,np->mn", mu_m, w, mu_m)
-        mimj_um = jnp.einsum("up,p,mp->um", mu_u, w, mu_m)
-        cov_mm = (big_mm + mimj_mm) - mi_m[:, None] * mi_m[None, :]
-        cov_um = (big_um + mimj_um) - mi_u[:, None] * mi_m[None, :]
-        var_m = jnp.diagonal(cov_mm)
-        var_u = (vu_big + (mu_u * mu_u) @ w) - mi_u * mi_u
+            # mean-product terms + normalization (CalWgtCov tail,
+            # src/util.cpp:103-124), identical to window_corr_blocks
+            mi_m = mu_m @ w
+            mi_u = mu_u @ w
+            mimj_mm = jnp.einsum("mp,p,np->mn", mu_m, w, mu_m)
+            mimj_um = jnp.einsum("up,p,mp->um", mu_u, w, mu_m)
+            cov_mm = (big_mm + mimj_mm) - mi_m[:, None] * mi_m[None, :]
+            cov_um = (big_um + mimj_um) - mi_u[:, None] * mi_m[None, :]
+            var_m = jnp.diagonal(cov_mm)
+            var_u = (vu_big + (mu_u * mu_u) @ w) - mi_u * mi_u
         std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m, 1.0))
         std_u = jnp.sqrt(jnp.where(u_mask > 0, var_u, 1.0))
         B11 = cov_mm / (std_m[:, None] * std_m[None, :])
@@ -1036,15 +1065,15 @@ def prepare_resident_panel(G_dev, rows, n_rows: int,
     rows: [RN] int32 panel row ids, entries >= n_rows are padding.
     Returns (X_shifted [RN, S] int8, Sp [RN, P] f32, Mu [RN, P] f32,
     V [RN] f32) with the exact int32 arithmetic of
-    _pallas_weighted_stats (shifts c = round(mean) in {0,1,2})."""
+    _pallas_weighted_stats (shifts c = round(mean) in {0,1,2}).
+
+    Pooled mode (spec.wgts is None): a single subject group -- Sp/Mu
+    come back [RN, 1] (pooled shifted sum / mean) and V is the pooled
+    centered sum of squares sum_s (x - xbar)^2 = Q' - S'^2/n; every
+    integer intermediate stays < 8n, exact in int32."""
     bounds = spec.bounds
     P = len(spec.pop_sizes)
     S = int(bounds[-1])
-    m_i32 = jnp.asarray(np.asarray(spec.pop_sizes, np.int32))
-    mf = jnp.asarray(np.asarray(spec.pop_sizes, np.float32))
-    m64 = np.asarray(spec.pop_sizes, dtype=np.float64)
-    w64 = np.asarray(spec.wgts, dtype=np.float64)
-    alpha = jnp.asarray((w64 * m64 / (m64 - 1.0)).astype(np.float32))
 
     pop_idx = np.zeros(S, dtype=np.int32)
     valid = np.zeros(S, dtype=np.int8)
@@ -1054,14 +1083,41 @@ def prepare_resident_panel(G_dev, rows, n_rows: int,
         pop_idx[lo:lo + int(spec.pop_sizes_padded[k])] = k
         valid[lo:lo + int(spec.pop_sizes[k])] = 1
         onehot[lo:lo + int(spec.pop_sizes[k]), k] = 1
-    onehot_d = jnp.asarray(onehot)
     valid_d = jnp.asarray(valid)
-    pop_idx_d = jnp.asarray(pop_idx)
 
     X = take_rows(G_dev, rows)
     real = (jnp.arange(rows.shape[0]) < n_rows).astype(jnp.int8)
     X = X * real[:, None]
     dn = (((1,), (0,)), ((), ()))
+
+    if spec.wgts is None:
+        n_i = int(sum(spec.pop_sizes))
+        nf = float(n_i)
+        vcol = jnp.asarray(valid.reshape(S, 1))
+        Ssum = jax.lax.dot_general(X, vcol, dn,
+                                   preferred_element_type=jnp.int32)
+        Q = jax.lax.dot_general(X * X, vcol, dn,
+                                preferred_element_type=jnp.int32)
+        c = jnp.clip(jnp.round(Ssum.astype(jnp.float32) / nf), 0, 2
+                     ).astype(jnp.int32)                     # [RN, 1]
+        Spi = Ssum - n_i * c
+        Sp = Spi.astype(jnp.float32)
+        X_shift = (X - c.astype(jnp.int8)) * valid_d[None, :] \
+            * real[:, None]
+        Mu = Ssum.astype(jnp.float32) / nf
+        # shifted Q' = Q - 2c*S + n*c^2 (exact); V = Q' - S'^2/n
+        Qp = Q - 2 * c * Ssum + (n_i * c) * c
+        V = (Qp.astype(jnp.float32)
+             - Sp * (Sp * (1.0 / nf)))[:, 0]
+        return X_shift, Sp, Mu, V
+
+    m_i32 = jnp.asarray(np.asarray(spec.pop_sizes, np.int32))
+    mf = jnp.asarray(np.asarray(spec.pop_sizes, np.float32))
+    m64 = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w64 = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = jnp.asarray((w64 * m64 / (m64 - 1.0)).astype(np.float32))
+    onehot_d = jnp.asarray(onehot)
+    pop_idx_d = jnp.asarray(pop_idx)
     Ssum = jax.lax.dot_general(X, onehot_d, dn,
                                preferred_element_type=jnp.int32)
     Q = jax.lax.dot_general(X * X, onehot_d, dn,

@@ -411,6 +411,54 @@ def test_resident_qcat_matches_gather_qcat(store, synpanel, gwas_input):
                                rtol=2e-4, atol=2e-5)
 
 
+def test_resident_pooled_matches_gather(store, synpanel, gwas_input):
+    """Pooled (homogeneous dist / qcat, wgts=None) resident kernels ==
+    the gather-based region paths.  'EUR' is a super-pop spanning two
+    panel segments (AAA+BBB), so the single pooled accumulation group
+    must also span the K_TILE zero padding between segments."""
+    from gauss_tpu.io import readers
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=(hi - lo) // 3)
+    kw = dict(window_bp=(hi - lo) // 3 + 1, wing_size=(hi - lo) // 3)
+
+    dfs = {}
+    for mode in ("resident", "gather"):
+        dfs[mode] = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                                 region_mode=mode).prepare_homog(
+            inp, "EUR", af1_cutoff=0.01).impute_region(lo, hi, **kw)
+    df_r, df_g = dfs["resident"], dfs["gather"]
+    assert len(df_r) == len(df_g) > 0
+    assert (df_r["rsid"].to_numpy() == df_g["rsid"].to_numpy()).all()
+    imp = df_g["type"].to_numpy() == 0
+    assert imp.sum() > 0
+    np.testing.assert_allclose(df_r["z"].to_numpy()[imp],
+                               df_g["z"].to_numpy()[imp],
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(df_r["info"].to_numpy()[imp],
+                               df_g["info"].to_numpy()[imp],
+                               rtol=2e-4, atol=2e-5)
+
+    # pooled qcat (the reference qcat default af1_cutoff is 0.05)
+    qs = {}
+    for mode in ("resident", "gather"):
+        qs[mode] = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                                region_mode=mode).prepare_homog(
+            inp, "EUR", af1_cutoff=0.05).qcat_region(lo, hi, **kw)
+    assert len(qs["resident"]) == len(qs["gather"]) > 0
+    assert (qs["resident"]["qcat_m"].to_numpy()
+            == qs["gather"]["qcat_m"].to_numpy()).all()
+    np.testing.assert_allclose(qs["resident"]["qcat_t"].to_numpy(),
+                               qs["gather"]["qcat_t"].to_numpy(),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(qs["resident"]["qcat_chisq"].to_numpy(),
+                               qs["gather"]["qcat_chisq"].to_numpy(),
+                               rtol=2e-4, atol=2e-5)
+
+
 @pytest.mark.parametrize("cfg", [
     # (window divisor, wing divisor, start offset, end offset)
     (5, 8, 0, 0),          # many small windows, some below min counts
