@@ -122,6 +122,10 @@ def main(argv=None):
     p.add_argument("--panel-cache", default=None,
                    help="decoded panel cache dir (panel-cache cmd); "
                         "skips the bgzf decode")
+    p.add_argument("--mesh", default=None, metavar="WxS",
+                   help="shard the pair correlations over a (window x "
+                        "subject) device mesh, e.g. 2x4 (needs W*S "
+                        "devices and --panel-cache)")
 
     for name, pop in [("jepeg", "study"), ("jepegmix", "wgt")]:
         p = sub.add_parser(name)
@@ -305,6 +309,9 @@ def main(argv=None):
             df = fn(args.input_file, **ref, interval=args.interval)
         _emit(df, args.output)
     elif args.cmd == "zmix":
+        mesh = _parse_mesh(args.mesh)
+        if mesh is not None and not args.panel_cache:
+            raise SystemExit("ERROR: zmix --mesh requires --panel-cache")
         if args.panel_cache:
             from gauss_tpu.io import readers
             from gauss_tpu.models import ancestry
@@ -314,7 +321,7 @@ def main(argv=None):
             df = ancestry.zmix_store(store, inp,
                                      percentile=args.percentile,
                                      interval=args.interval,
-                                     level=args.level)
+                                     level=args.level, mesh=mesh)
         else:
             df = gauss_tpu.zmix(args.input_file, **ref,
                                 percentile=args.percentile,

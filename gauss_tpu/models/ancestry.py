@@ -287,12 +287,60 @@ def prep_zmix4(input_file: str, reference_index_file: str,
     return np.column_stack([hs.astype(np.float64), zz, corr])
 
 
+def _per_pop_R_sharded(G: np.ndarray, desc: readers.PopDesc,
+                       sup_level: bool, mesh) -> np.ndarray:
+    """Per-group correlation matrices R[P|SP, N, N] over a
+    (window x subject) device mesh: AIM rows data-parallel over the
+    window axis, subjects sharded with one psum
+    (parallel.mesh.build_sharded_pair_stats).  The partial statistics
+    are exact integers, so the host f64 combine reproduces the
+    single-device path bit-for-bit at any shard count.  Super-pop level
+    pools the additive per-pop statistics before combining
+    (reference: CalCorSup, src/zmix.cpp:1221-1246)."""
+    from ..parallel import mesh as meshmod
+
+    n_sub = mesh.shape["subject"]
+    n_win = mesh.shape["window"]
+    sizes = tuple(int(x) for x in desc.sizes)
+    G_layout, _, locs = meshmod.subject_shard_layout(G, sizes, n_sub)
+    N = G.shape[0]
+    Np = -(-N // n_win) * n_win
+    Gp = np.zeros((Np, G_layout.shape[1]), dtype=np.int8)
+    Gp[:N] = G_layout
+    fn = meshmod.build_sharded_pair_stats(locs, mesh)
+    C, S, Q = (np.asarray(a, dtype=np.float64) for a in fn(Gp))
+    C, S, Q = C[:, :N, :N], S[:N], Q[:N]
+
+    if sup_level:
+        order = desc.sup_pop_order()
+        groups = desc.sup_pop_indices()
+        ks = [np.asarray(groups[sp]) for sp in order]
+        ns = [float(sum(sizes[k] for k in g)) for g in ks]
+        C = np.stack([C[g].sum(axis=0) for g in ks])
+        S = np.stack([S[:, g].sum(axis=1) for g in ks], axis=1)
+        Q = np.stack([Q[:, g].sum(axis=1) for g in ks], axis=1)
+    else:
+        ns = [float(s) for s in sizes]
+
+    mats = []
+    with np.errstate(invalid="ignore", divide="ignore"):
+        for k, n in enumerate(ns):
+            # CalCor combine (src/util.cpp:153-169), as in
+            # stats.pooled_corr_combine
+            numer = n * C[k] - np.outer(S[:, k], S[:, k])
+            d = np.sqrt(n * Q[:, k] - S[:, k] * S[:, k])
+            mats.append(numer / np.outer(d, d))
+    return np.stack(mats)
+
+
 def _zmix5_mat(measured: pd.DataFrame, desc: readers.PopDesc,
                percentile: float, interval: int, sup_level: bool,
-               af_fn, geno_fn):
+               af_fn, geno_fn, mesh=None):
     """prep_zmix5 core given row-subset accessors: ``af_fn(df) -> [n,P]``
     panel AFs and ``geno_fn(df) -> [n,S]`` dosages (bgzf decode for the
-    per-call path, array slices for the PanelStore-resident path)."""
+    per-call path, array slices for the PanelStore-resident path).
+    With ``mesh``, the pair correlations run sharded over the device
+    mesh (_per_pop_R_sharded)."""
     sub = measured.iloc[::interval].reset_index(drop=True)
     af_panel = af_fn(sub)
     nv = _af_norm_var(af_panel)
@@ -301,6 +349,10 @@ def _zmix5_mat(measured: pd.DataFrame, desc: readers.PopDesc,
     aims = sub[keep].reset_index(drop=True)
     G = geno_fn(aims)
     z = aims["z"].to_numpy()
+    if mesh is not None:
+        R = _per_pop_R_sharded(np.ascontiguousarray(G, dtype=np.int8),
+                               desc, sup_level, mesh)
+        return _pair_rows_all(z, R), desc
     if not sup_level:
         R = ldkernels.per_pop_corr(G, tuple(int(x) for x in desc.sizes))
         return _pair_rows_all(z, R), desc
@@ -455,7 +507,7 @@ def cpw2_store(store, input_df: pd.DataFrame,
 
 
 def _zmix5_mat_store(store, input_df: pd.DataFrame, percentile: float,
-                     interval: int, sup_level: bool):
+                     interval: int, sup_level: bool, mesh=None):
     measured, rows = _measured_from_store(store, input_df)
     # carry the store row id as a column: _zmix5_mat resets indices when
     # it subsets, so positional mapping would silently mis-align
@@ -463,30 +515,32 @@ def _zmix5_mat_store(store, input_df: pd.DataFrame, percentile: float,
     af_fn = lambda df: store.af[df["_store_row"].to_numpy()]
     geno_fn = lambda df: store.G[df["_store_row"].to_numpy()]
     return _zmix5_mat(measured, store.desc, percentile, interval,
-                      sup_level, af_fn=af_fn, geno_fn=geno_fn)
+                      sup_level, af_fn=af_fn, geno_fn=geno_fn, mesh=mesh)
 
 
 def prep_zmix5_store(store, input_df: pd.DataFrame,
                      percentile: Optional[float] = None,
                      interval: Optional[int] = None,
-                     sup_level: bool = False) -> np.ndarray:
-    """prep_zmix5[_sup] over a resident PanelStore."""
+                     sup_level: bool = False, mesh=None) -> np.ndarray:
+    """prep_zmix5[_sup] over a resident PanelStore.  ``mesh``: run the
+    pair correlations sharded over a (window x subject) device mesh."""
     percentile = 0.99 if percentile is None else float(percentile)
     interval = 1 if interval is None else int(interval)
     mat, _ = _zmix5_mat_store(store, input_df, percentile, interval,
-                              sup_level)
+                              sup_level, mesh=mesh)
     return mat
 
 
 def zmix_store(store, input_df: pd.DataFrame, percentile: float = 0.9,
                interval: int = 10,
-               level: str = "population") -> pd.DataFrame:
+               level: str = "population", mesh=None) -> pd.DataFrame:
     """zmix over a resident PanelStore: one panel decode serves AIM
     selection (AF variance), pair correlations, and the QP fit
     (reference re-reads the panel inside prep_zmix5 every call,
-    src/zmix.cpp:44-187)."""
+    src/zmix.cpp:44-187).  ``mesh``: shard the pair correlations over a
+    (window x subject) device mesh."""
     if level not in ("population", "superpopulation"):
         raise ValueError("level must be 'population' or 'superpopulation'")
     mat, desc = _zmix5_mat_store(store, input_df, percentile, interval,
-                                 level == "superpopulation")
+                                 level == "superpopulation", mesh=mesh)
     return _zmix_fit(mat, desc, level)

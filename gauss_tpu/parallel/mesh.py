@@ -199,6 +199,55 @@ def build_sharded_ld_kernel(spec: WindowKernelSpec, mesh: Mesh,
     return wrapper
 
 
+def build_sharded_pair_stats(local_pop_sizes: Sequence[int], mesh: Mesh):
+    """Per-population pair sufficient statistics of an AIM panel over a
+    (window x subject) mesh -- the compute core of mesh-parallel
+    prep_zmix5 / zmix (reference: the serial all-pairs per-string CalCor
+    loop, src/zmix.cpp:157-174 via src/util.cpp:153-169).
+
+    Contract: the panel's subject axis is in ``subject_shard_layout``
+    order with per-shard segment widths ``local_pop_sizes``; the SNP row
+    axis is zero-padded to a multiple of the window-axis size.  SNP rows
+    are data-parallel over ``window`` (each shard computes its row block
+    of every Gram against an all-gathered copy of the rows); subject
+    slices combine with one psum over ``subject``.  All statistics are
+    integer-valued and < 2^24, so the f32 partials and their psum are
+    EXACT -- the host f64 combine is bit-identical for any shard count.
+
+    Returns (G_layout [Np, S_layout] i8) -> (C [P, Np, Np], S [Np, P],
+    Q [Np, P]) exact-integer f32.
+    """
+    bounds = stats.segment_bounds(local_pop_sizes)
+    nP = len(local_pop_sizes)
+
+    def fn(Xl):
+        # Xl [nloc, S_loc] int8: this device's row block x subject slice
+        Xg = jax.lax.all_gather(Xl, "window", axis=0, tiled=True)
+        Cs, Ss, Qs = [], [], []
+        for k in range(nP):
+            lo, hi = int(bounds[k]), int(bounds[k + 1])
+            a = Xl[:, lo:hi].astype(jnp.float32)
+            b = Xg[:, lo:hi].astype(jnp.float32)
+            Cs.append(jax.lax.dot_general(
+                a, b, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32))
+            Ss.append(jnp.sum(a, axis=1))
+            Qs.append(jnp.sum(a * a, axis=1))
+        C = jax.lax.psum(jnp.stack(Cs), "subject")
+        S = jax.lax.psum(jnp.stack(Ss, axis=1), "subject")
+        Q = jax.lax.psum(jnp.stack(Qs, axis=1), "subject")
+        return C, S, Q
+
+    sharded = jax.shard_map(
+        fn,
+        mesh=mesh,
+        in_specs=(P("window", "subject"),),
+        out_specs=(P(None, "window", None), P("window", None),
+                   P("window", None)),
+    )
+    return jax.jit(sharded)
+
+
 def sharded_region_impute(
     mesh: Mesh,
     G_layout: np.ndarray,      # [R, S_layout] int8 panel (subject-shard layout)

@@ -225,6 +225,31 @@ def test_prep_zmix5_and_zmix_store_parity(synpanel, gwas_input, anc_store):
                                rtol=0, atol=0)
 
 
+def test_prep_zmix5_mesh_matches_single_device(gwas_input, anc_store):
+    """Mesh-sharded pair correlations (AIM rows over the window axis,
+    subjects psum'd) are bit-identical to the single-device path: all
+    sufficient statistics are exact integers at any shard count."""
+    from gauss_tpu.io import readers
+    from gauss_tpu.models import ancestry
+    from gauss_tpu.parallel.mesh import make_mesh
+    path, _ = gwas_input
+    inp = readers.read_input_z(path, all_snps=True)
+    mesh = make_mesh(2, 4)
+
+    for sup in (False, True):
+        one = ancestry.prep_zmix5_store(anc_store, inp, percentile=0.5,
+                                        interval=2, sup_level=sup)
+        got = ancestry.prep_zmix5_store(anc_store, inp, percentile=0.5,
+                                        interval=2, sup_level=sup,
+                                        mesh=mesh)
+        np.testing.assert_allclose(got, one, rtol=0, atol=0)
+
+    z1 = ancestry.zmix_store(anc_store, inp, percentile=0.5, interval=2)
+    zm = ancestry.zmix_store(anc_store, inp, percentile=0.5, interval=2,
+                             mesh=mesh)
+    np.testing.assert_allclose(zm["Weight"], z1["Weight"], rtol=0, atol=0)
+
+
 def test_engine_ancestry_methods(synpanel, af_input, anc_store):
     """GenomeEngine delegates: one store serves afmix AND zmix without a
     second decode."""

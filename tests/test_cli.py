@@ -125,6 +125,27 @@ def test_cli_impute_region_mesh(synpanel, gwas_input, region, tmp_path):
                                rtol=2e-5, atol=2e-5)
 
 
+def test_cli_zmix_mesh(synpanel, gwas_input, tmp_path):
+    """zmix --mesh over a panel cache matches the unsharded CLI run."""
+    path, _ = gwas_input
+    cache = tmp_path / "cache"
+    cli.main(["panel-cache"] + _ref_argv(synpanel) + ["-o", str(cache)])
+    base = ["zmix", "--input-file", path, "--percentile", "0.5",
+            "--interval", "2"] + _ref_argv(synpanel)
+    out_1 = tmp_path / "z1.tsv"
+    out_m = tmp_path / "zm.tsv"
+    cli.main(base + ["-o", str(out_1)])
+    cli.main(base + ["--panel-cache", str(cache), "--mesh", "2x4",
+                     "-o", str(out_m)])
+    df_1 = pd.read_csv(out_1, sep="\t")
+    df_m = pd.read_csv(out_m, sep="\t")
+    assert list(df_m["Population"]) == list(df_1["Population"])
+    np.testing.assert_allclose(df_m["Weight"], df_1["Weight"],
+                               rtol=0, atol=0)
+    with pytest.raises(SystemExit):
+        cli.main(base + ["--mesh", "2x4", "-o", "-"])
+
+
 def test_cli_panel_cache_and_region(synpanel, gwas_input, region, tmp_path):
     path, _ = gwas_input
     lo, hi = region
