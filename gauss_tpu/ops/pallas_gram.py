@@ -59,61 +59,54 @@ K_TILE = int(os.environ.get("GAUSS_K_TILE", 512))
 ROW_TILE = int(os.environ.get("GAUSS_ROW_TILE", 256))
 
 
-def _kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
-            xt_ref, yt_ref, x_ref, y_ref, o_ref, cacc, facc):
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
-
-    @pl.when(t == 0)
-    def _():
-        facc[:] = jnp.zeros_like(facc)
-
-    @pl.when(first_ref[t] == 1)
-    def _():
-        cacc[:] = jnp.zeros_like(cacc)
-
-    cacc[:] += jax.lax.dot_general(
-        x_ref[:], y_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
-
-    @pl.when(last_ref[t] == 1)
-    def _():
-        facc[:] += beta_ref[t] * cacc[:].astype(jnp.float32)
-
-    @pl.when(t == nt - 1)
-    def _():
-        o_ref[:] = facc[:]
+#: K tiles folded per grid step.  One small (256 x 512 x 256) dot per
+#: step leaves the MXU idle behind per-step sequencing overhead
+#: (measured 0.77 us/step wall vs 0.15 us of int8 compute); unrolling U
+#: k-tiles per step amortizes it and makes the y DMA U-fold larger.
+_K_UNROLL = int(os.environ.get("GAUSS_K_UNROLL", 4))
 
 
-def _kernel_xrows(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
-                  xt_ref, yt_ref, x_ref, y_ref, o_ref, cacc, facc):
-    """Whole-row-band x variant: x_ref holds the full [ROW_TILE, S]
-    band in VMEM, so consecutive grid steps with the same x row tile
-    (pair_tables is i-major) never re-fetch it -- the dominant HBM
-    stream drops from 2 tiles/step to ~1."""
-    t = pl.program_id(1)
-    nt = pl.num_programs(1)
+def _make_kernel(U: int, xrows: bool):
+    """Grid-step body folding ``U`` consecutive K tiles.
 
-    @pl.when(t == 0)
-    def _():
-        facc[:] = jnp.zeros_like(facc)
+    ``xrows``: x_ref holds the full [ROW_TILE, S] band in VMEM, so
+    consecutive grid steps with the same x row tile (pair_tables is
+    i-major) never re-fetch it -- the dominant HBM stream drops from
+    2 tiles/step to ~1.  Otherwise x_ref is a [ROW_TILE, U*K_TILE]
+    block like y_ref."""
 
-    @pl.when(first_ref[t] == 1)
-    def _():
-        cacc[:] = jnp.zeros_like(cacc)
+    def kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
+               xt_ref, yt_ref, x_ref, y_ref, o_ref, cacc, facc):
+        t = pl.program_id(1)
+        nt = pl.num_programs(1)
 
-    xk = x_ref[:, pl.ds(t * K_TILE, K_TILE)]
-    cacc[:] += jax.lax.dot_general(
-        xk, y_ref[:], (((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.int32)
+        @pl.when(t == 0)
+        def _():
+            facc[:] = jnp.zeros_like(facc)
 
-    @pl.when(last_ref[t] == 1)
-    def _():
-        facc[:] += beta_ref[t] * cacc[:].astype(jnp.float32)
+        for u in range(U):
+            k = t * U + u
 
-    @pl.when(t == nt - 1)
-    def _():
-        o_ref[:] = facc[:]
+            @pl.when(first_ref[k] == 1)
+            def _():
+                cacc[:] = jnp.zeros_like(cacc)
+
+            xk = x_ref[:, pl.ds(k * K_TILE if xrows else u * K_TILE,
+                                K_TILE)]
+            yk = y_ref[:, pl.ds(u * K_TILE, K_TILE)]
+            cacc[:] += jax.lax.dot_general(
+                xk, yk, (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)
+
+            @pl.when(last_ref[k] == 1)
+            def _():
+                facc[:] += beta_ref[k] * cacc[:].astype(jnp.float32)
+
+        @pl.when(t == nt - 1)
+        def _():
+            o_ref[:] = facc[:]
+
+    return kernel
 
 
 #: VMEM budget for the whole-row x band (leave room for y double
@@ -205,11 +198,12 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
         raise ValueError("pop_sizes_padded does not match subject axis")
     pi, pj = pair_tables(n_sym, nx // ROW_TILE, ny // ROW_TILE)
 
+    U = max(u for u in range(1, _K_UNROLL + 1) if T % u == 0)
     xrows = ROW_TILE * S <= _XROWS_VMEM_CAP
     if xrows:
         # second block index must stay i32 (a literal 0 traces as i64
         # under x64 and Mosaic rejects the mixed-type index map).
-        # buffer_count=1: the band changes only once per ~T steps, so
+        # buffer_count=1: the band changes only once per ~T/U steps, so
         # double-buffering it would double the dominant VMEM cost for
         # an overlap that almost never fires.
         x_spec = pl.BlockSpec((ROW_TILE, S),
@@ -218,16 +212,16 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
                               pipeline_mode=pl.Buffered(buffer_count=1),
                               memory_space=pltpu.VMEM)
     else:
-        x_spec = pl.BlockSpec((ROW_TILE, K_TILE),
+        x_spec = pl.BlockSpec((ROW_TILE, U * K_TILE),
                               lambda g, t, f, l, b, pi, pj, xt, yt:
                               (xt[0] + pi[g], t),
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(len(pi), T),
+        grid=(len(pi), T // U),
         in_specs=[
             x_spec,
-            pl.BlockSpec((ROW_TILE, K_TILE),
+            pl.BlockSpec((ROW_TILE, U * K_TILE),
                          lambda g, t, f, l, b, pi, pj, xt, yt:
                          (yt[0] + pj[g], t),
                          memory_space=pltpu.VMEM),
@@ -248,7 +242,7 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     except Exception:  # hint only; param surface varies across versions
         pass
     return pl.pallas_call(
-        _kernel_xrows if xrows else _kernel,
+        _make_kernel(U, xrows),
         out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(

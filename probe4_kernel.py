@@ -30,11 +30,13 @@ def main():
     hi = int(store.index["bp"].max())
     engine = GenomeEngine(store, snp_bucket=256, device_linalg=True)
     run = engine.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
-    k_sec, plans = run.region_kernel_seconds(lo, hi, repeats=5)
+    (k_1, k_dev), plans = run.region_kernel_seconds(lo, hi, repeats=5,
+                                                    inner_repeats=4)
     spec = engine._spec(run.pop_sizes, run.wgts)
     S = int(np.sum(spec.pop_sizes_padded))
     log(f"K_TILE={pg.K_TILE} ROW_TILE={pg.ROW_TILE} S_padded={S} "
-        f"windows={len(plans)}: region kernel {k_sec*1e3:.1f} ms")
+        f"windows={len(plans)}: region kernel {k_1*1e3:.1f} ms "
+        f"one-dispatch, {k_dev*1e3:.1f} ms device-only")
     # accuracy spot check vs host path on the first window
     w = run.impute_window(lo, lo + 999_999, 500_000)
     eng_h = GenomeEngine(store, snp_bucket=256, device_linalg=False)
