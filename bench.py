@@ -150,11 +150,11 @@ def main():
 
     # secondary: ancestry-weighted LD throughput (computeLD windows)
     t = time.time()
-    lds = run.ld_region(lo, hi, window_bp=WINDOW_BP)
+    lds = run.ld_region(lo, hi, window_bp=WINDOW_BP, fetch="i16tri")
     log(f"[bench] LD warmup: {len(lds)} windows "
         f"({time.time()-t:.1f}s incl. compile)")
     t = time.time()
-    lds = run.ld_region(lo, hi, window_bp=WINDOW_BP)
+    lds = run.ld_region(lo, hi, window_bp=WINDOW_BP, fetch="i16tri")
     ld_elapsed = time.time() - t
     log(f"[bench] computeLD: {len(lds)} windows in {ld_elapsed:.2f}s "
         f"-> {len(lds)/ld_elapsed:.1f} LD windows/s")

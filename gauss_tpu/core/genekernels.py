@@ -114,7 +114,9 @@ def gene_corr_matrices(
         batch_idx = []
         while (i < len(order)
                and _bucket(gene_G[order[i]].shape[0]) == npad
-               and (len(batch_idx) + 1) * npad * S <= max_batch_elems):
+               and (not batch_idx
+                    or (len(batch_idx) + 1) * npad * S
+                    <= max_batch_elems)):
             batch_idx.append(order[i])
             i += 1
         Gb = np.zeros((len(batch_idx), npad, S), dtype=np.int8)
@@ -174,12 +176,19 @@ def _corr_from_pop_partials(C, S, Q, true_sizes, wgts):
     return cov / (std[:, :, None] * std[:, None, :])
 
 
-def _gene_stats_body(G_dev, idx, Wb, zb, bounds, true_sizes, wgts, lam,
-                     valid=None, psum=None):
+def _gene_stats_body(G_dev, idx, Wb, zb, rowmask, bounds, true_sizes,
+                     wgts, lam, valid=None, psum=None):
     """Shared core: gather gene rows, per-pop partial stats (psum-able
     across subject shards), f64 CorG with the 1+lambda ridge diagonal
     (src/gene.cpp:569-586), then the category-level contractions
     U = W z, CovU = W CorG W^T, WWt = W W^T (src/gene.cpp:594-648).
+
+    rowmask [B, n] flags each gene's true SNP rows; pad rows gather
+    panel row 0, whose correlations can be NaN (zero variance) and
+    would poison CovU through 0*NaN in the W contraction -- they are
+    zeroed here, reproducing the host-side slice of the dense path.
+    NaNs among a gene's REAL SNPs still propagate, matching the
+    reference's division by zero (src/util.cpp:63-69).
 
     Returns (CovU [B, 6, 6], WWt [B, 6, 6], U [B, 6]) float64."""
     Gb = take_rows(G_dev, idx)                            # [B, n, S_loc]
@@ -199,6 +208,8 @@ def _gene_stats_body(G_dev, idx, Wb, zb, bounds, true_sizes, wgts, lam,
     if psum is not None:
         C, S, Q = psum(C), psum(S), psum(Q)
     CorG = _corr_from_pop_partials(C, S, Q, true_sizes, wgts)
+    pairmask = rowmask[:, :, None] * rowmask[:, None, :]
+    CorG = jnp.where(pairmask > 0, CorG, 0.0)
     eye = jnp.eye(CorG.shape[1], dtype=CorG.dtype)
     CorG = CorG * (1.0 - eye) + (1.0 + lam) * eye
     WCor = jnp.einsum("bkn,bnm->bkm", Wb, CorG)
@@ -209,10 +220,11 @@ def _gene_stats_body(G_dev, idx, Wb, zb, bounds, true_sizes, wgts, lam,
 
 
 @partial(jax.jit, static_argnames=("pop_sizes", "wgts", "lam"))
-def _gene_stats_unsharded(G_dev, idx, Wb, zb, pop_sizes, wgts, lam):
+def _gene_stats_unsharded(G_dev, idx, Wb, zb, rowmask, pop_sizes, wgts,
+                          lam):
     bounds = stats.segment_bounds(pop_sizes)
-    return _gene_stats_body(G_dev, idx, Wb, zb, bounds, pop_sizes,
-                            wgts, lam)
+    return _gene_stats_body(G_dev, idx, Wb, zb, rowmask, bounds,
+                            pop_sizes, wgts, lam)
 
 
 _SHARDED_GENE_FNS = {}
@@ -234,23 +246,24 @@ def _gene_stats_sharded_fn(pop_sizes, local_sizes, wgts, lam, mesh):
     valid_np = subject_valid_layout(pop_sizes, n_sub).astype(np.int8)
     bounds = stats.segment_bounds(local_sizes)
 
-    def body(G, idx, Wb, zb, valid):
+    def body(G, idx, Wb, zb, rowmask, valid):
         return _gene_stats_body(
-            G, idx, Wb, zb, bounds, pop_sizes, wgts, lam, valid=valid,
-            psum=lambda x: jax.lax.psum(x, "subject"))
+            G, idx, Wb, zb, rowmask, bounds, pop_sizes, wgts, lam,
+            valid=valid, psum=lambda x: jax.lax.psum(x, "subject"))
 
     sharded = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, "subject"), P("window", None),
-                  P("window", None, None), P("window", None), P("subject")),
+                  P("window", None, None), P("window", None),
+                  P("window", None), P("subject")),
         out_specs=(P("window", None, None), P("window", None, None),
                    P("window", None)),
     )
     jfn = jax.jit(sharded)
     valid_d = jnp.asarray(valid_np)
 
-    def wrapper(G_dev, idx, Wb, zb):
-        return jfn(G_dev, idx, Wb, zb, valid_d)
+    def wrapper(G_dev, idx, Wb, zb, rowmask):
+        return jfn(G_dev, idx, Wb, zb, rowmask, valid_d)
 
     _SHARDED_GENE_FNS[key] = wrapper
     return wrapper
@@ -299,21 +312,24 @@ def gene_stats_resident(
         batch = []
         while (i < len(order)
                and _bucket(len(gene_idx[order[i]])) == npad
-               and (len(batch) + 1) * npad * S <= max_batch_elems):
+               and (not batch
+                    or (len(batch) + 1) * npad * S <= max_batch_elems)):
             batch.append(order[i])
             i += 1
         B = -(-len(batch) // n_win) * n_win     # pad batch for the mesh
         idx = np.zeros((B, npad), dtype=np.int32)
         Wb = np.zeros((B, 6, npad))
         zb = np.zeros((B, npad))
+        rowmask = np.zeros((B, npad))
         for bi, gi in enumerate(batch):
             n = len(gene_idx[gi])
             idx[bi, :n] = gene_idx[gi]
             Wb[bi, :, :n] = Ws[gi]
             zb[bi, :n] = zs[gi]
+            rowmask[bi, :n] = 1.0
         CovU, WWt, U = (np.asarray(a) for a in
                         fn(G_dev, jnp.asarray(idx), jnp.asarray(Wb),
-                           jnp.asarray(zb)))
+                           jnp.asarray(zb), jnp.asarray(rowmask)))
         for bi, gi in enumerate(batch):
             out[gi] = (CovU[bi], WWt[bi], U[bi])
     return out
@@ -349,7 +365,8 @@ def gene_corr_resident(
         batch = []
         while (i < len(order)
                and _bucket(len(gene_idx[order[i]])) == npad
-               and (len(batch) + 1) * npad * S <= max_batch_elems):
+               and (not batch
+                    or (len(batch) + 1) * npad * S <= max_batch_elems)):
             batch.append(order[i])
             i += 1
         idx = np.zeros((len(batch), npad), dtype=np.int32)

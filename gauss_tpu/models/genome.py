@@ -572,17 +572,18 @@ class PreparedRun:
         return WindowResult(table=res, n_measured=M, n_unmeasured=U)
 
     def ld_window(self, start_bp: int, end_bp: int,
-                  fetch: str = "i16tri") -> Optional[Dict]:
+                  fetch: str = "f32") -> Optional[Dict]:
         """Ancestry-weighted LD matrix of the window's MEASURED SNPs
         over the resident panel (computeLD semantics: wing = 0, diag
         1.0, no ridge; src/computeLD.cpp:26-166).  Returns
         {'snplist': DataFrame, 'cormat': float64 [n, n]} or None when
         the window has no measured SNPs.
 
-        ``fetch``: "i16tri" (default) transfers the packed int16 lower
+        ``fetch``: "f32" (default) transfers the full matrix at the
+        kernel's full precision; "i16tri" the packed int16 lower
         triangle -- 1/8 the bytes, |dr| <= LD_I16_MAX_ERR ~ 1.5e-5
-        (documented deviation; the host compute_ld path stays full
-        f64) -- "f32" the full matrix."""
+        (opt-in throughput mode; the returned dict records the mode
+        under "fetch" so consumers can detect quantization)."""
         if self.wgts is None:
             raise ValueError("ld_window requires population weights "
                              "(prepare_mix)")
@@ -618,18 +619,19 @@ class PreparedRun:
             "af1mix": tt["af1mix"].to_numpy(),
             "z": tt["z"].to_numpy(),
         })
-        return {"snplist": snplist, "cormat": cormat}
+        return {"snplist": snplist, "cormat": cormat, "fetch": fetch}
 
     def ld_region(self, start_bp: int, end_bp: int,
                   window_bp: int = 1_000_000,
-                  fetch: str = "i16tri") -> List[Dict]:
+                  fetch: str = "f32") -> List[Dict]:
         """ld_window over consecutive windows, every window dispatched
         before any correlation matrix is fetched (the dense [M, M]
         outputs dominate the host link here, so overlapping fetches
         with dispatches beats the single-scan formulation that works
         best for impute_region's tiny outputs).  ``fetch`` as in
-        ld_window: the default int16-triangle transfer is 1/8 the
-        bytes with |dr| <= LD_I16_MAX_ERR."""
+        ld_window ("f32" full precision by default; "i16tri" packs the
+        lower triangle into int16, 1/8 the bytes, |dr| <=
+        LD_I16_MAX_ERR, recorded under "fetch" in each dict)."""
         t = self.table
         bp = t["bp"].to_numpy()
         typ = t["type"].to_numpy()
@@ -675,11 +677,12 @@ class PreparedRun:
                     "af1mix": tt["af1mix"].to_numpy(),
                     "z": tt["z"].to_numpy()}),
                 "cormat": cormat,
+                "fetch": fetch,
             })
         return out
 
     def _ld_region_mesh(self, start_bp: int, end_bp: int,
-                        window_bp: int, fetch: str = "i16tri") -> List[Dict]:
+                        window_bp: int, fetch: str = "f32") -> List[Dict]:
         """Mesh variant of ld_region: all windows padded to one Mp and
         computed in a single dispatch split over the window axis."""
         t = self.table
@@ -721,6 +724,7 @@ class PreparedRun:
                 "cormat": (unpack_tri_i16(corr[i], Mp, M)
                            if fetch == "i16tri"
                            else corr[i, :M, :M].astype(np.float64)),
+                "fetch": fetch,
             })
         return out
 
@@ -839,6 +843,9 @@ class PreparedRun:
         cached = self._res.get("caps")
         if cached is not None and cached[0] >= Mp and cached[1] >= Up:
             return self._res["arrays"]
+        if cached is not None:       # grow monotonically: alternating
+            Mp = max(Mp, cached[0])  # callers must not thrash rebuilds
+            Up = max(Up, cached[1])
         t = self.table
         typ = t["type"].to_numpy()
         m_all = np.flatnonzero(typ == 1)

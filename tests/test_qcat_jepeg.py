@@ -208,3 +208,76 @@ def test_jepegmix_runs(synpanel, gwas_input, annot_file):
     assert len(tested) > 0
     # mix chisq should differ from homogeneous but be in a sane range
     assert np.isfinite(tested["chisq"]).all()
+
+
+def test_gene_stats_resident_pad_row_nan_safe():
+    """Pad rows of a gene bucket gather panel row 0; if that row is
+    monomorphic its correlations are NaN and must NOT poison CovU/U
+    through the W contraction (regression: round-3 advisor finding).
+    Real-SNP NaNs still propagate (reference divides by zero,
+    src/util.cpp:63-69)."""
+    import jax.numpy as jnp
+    from gauss_tpu.core import genekernels
+
+    rng = np.random.default_rng(7)
+    S = 40
+    pop_sizes = (24, 16)
+    G = rng.integers(0, 3, size=(10, S)).astype(np.int8)
+    G[0] = 1                       # monomorphic row 0 -> NaN correlations
+    G_dev = jnp.asarray(G)
+
+    n_g = 3                        # bucket 8 -> 5 pad rows gather row 0
+    gene_idx = [np.array([2, 5, 7], dtype=np.int32)]
+    W = rng.normal(size=(6, n_g))
+    z = rng.normal(size=n_g)
+
+    for wgts in (None, (0.6, 0.4)):
+        stats6 = genekernels.gene_stats_resident(
+            G_dev, gene_idx, [W], [z], pop_sizes, wgts, lam=0.1)
+        CovU, WWt, U = stats6[0]
+        assert np.isfinite(CovU).all()
+        assert np.isfinite(WWt).all()
+        assert np.isfinite(U).all()
+
+        # parity vs dense host contraction on the unpadded block
+        corr = genekernels.gene_corr_matrices([G[gene_idx[0]]],
+                                              pop_sizes, wgts)[0].copy()
+        np.fill_diagonal(corr, 1.1)
+        np.testing.assert_allclose(CovU, W @ corr @ W.T, atol=1e-10)
+        np.testing.assert_allclose(U, W @ z, atol=1e-12)
+
+
+def test_gene_batching_admits_oversized_gene():
+    """A gene whose own bucket exceeds max_batch_elems must still be
+    admitted (alone) rather than spinning the batching loop forever
+    (regression: round-3 advisor finding)."""
+    import jax.numpy as jnp
+    from gauss_tpu.core import genekernels
+
+    rng = np.random.default_rng(3)
+    S = 64
+    pop_sizes = (40, 24)
+    G = rng.integers(0, 3, size=(20, S)).astype(np.int8)
+    G_dev = jnp.asarray(G)
+    gene_idx = [np.arange(12, dtype=np.int32),      # bucket 16
+                np.array([1, 2, 3], dtype=np.int32)]
+    Ws = [rng.normal(size=(6, len(g))) for g in gene_idx]
+    zs = [rng.normal(size=len(g)) for g in gene_idx]
+
+    # 1 * 16 * 64 = 1024 > 512: per-gene cap exceeded for gene 0
+    stats6 = genekernels.gene_stats_resident(
+        G_dev, gene_idx, Ws, zs, pop_sizes, None, lam=0.1,
+        max_batch_elems=512)
+    assert len(stats6) == 2 and all(s is not None for s in stats6)
+
+    corrs = genekernels.gene_corr_matrices(
+        [G[g] for g in gene_idx], pop_sizes, None, max_batch_elems=512)
+    for (CovU, WWt, U), W, z, corr in zip(stats6, Ws, zs, corrs):
+        c = corr.copy()
+        np.fill_diagonal(c, 1.1)
+        np.testing.assert_allclose(CovU, W @ c @ W.T, atol=1e-10)
+
+    out = genekernels.gene_corr_resident(G_dev, gene_idx, pop_sizes,
+                                         None, max_batch_elems=512)
+    for a, b in zip(out, corrs):
+        np.testing.assert_allclose(a, b, atol=1e-12)
