@@ -1,5 +1,7 @@
 #!/usr/bin/env python
 """Perf probe #2: gather strategies + Pallas Gram tile variants."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

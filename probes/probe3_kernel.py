@@ -5,6 +5,8 @@ a) XLA jnp.take int8 row gather (baseline)
 b) XLA gather after bitcast to int32 (4x fewer elements)
 c) Pallas per-row-DMA gather (ops/dma_gather.py)
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

@@ -2,6 +2,8 @@
 """Perf probe #4: the REAL region kernel A/B (uses the bench panel
 cache).  Reports kernel-only ms via region_kernel_seconds.  Control
 knobs via env: GAUSS_K_TILE, GAUSS_ROW_TILE."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

@@ -2,6 +2,8 @@
 """Perf probe #5: raw achievable HBM bandwidth on this chip (is the
 ~140 GB/s the Gram achieves the practical ceiling or is there
 headroom?)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import sys
 import time

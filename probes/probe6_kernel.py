@@ -2,6 +2,8 @@
 """Perf probe #6: latency-corrected device times via in-dispatch
 repetition (lax.scan) -- separates the ~25 ms tunnel round-trip from
 true device time.  Reports real chip peaks + real region-kernel time."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys

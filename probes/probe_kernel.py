@@ -2,6 +2,8 @@
 """One-off perf probe: split the region kernel's time between gather,
 weighted-stats Grams, and the Cholesky/solve stage on the real TPU.
 Uses the bench panel cache (run bench.py once first)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 
 import os
 import sys
