@@ -3,13 +3,17 @@
 
 Workload (matching BASELINE.json's driver metric): cosmopolitan distmix
 imputation over a 33KG-shaped synthetic panel (29 populations, 32,953
-subjects -- the real reference panel's dimensions) on a chr22-like
-region, reporting imputed SNPs per second per chip.
+subjects -- the real reference panel's dimensions) at chr22-like SNP
+density (1500/Mb), reporting imputed SNPs per second per chip.  The
+region is ~43 consecutive 1 Mb windows (64k SNPs over 42.7 Mb) --
+a genome-scale steady-state measurement, as the reference is driven in
+production (one dist/distmix call per window over a chromosome,
+SURVEY.md section 2.3).
 
 The "baseline" is the reference implementation's single-thread scalar
 algorithm (GAUSS has no published numbers; BASELINE.json published={}),
-measured here by timing the literal CalWgtCov scalar loop on a sample of
-pairs and pricing the reference's exact operation count
+measured here by timing the literal CalWgtCov scalar loop on a sample
+of pairs and pricing the reference's exact operation count
 (M*(M-1)/2 + M + U + U*M weighted covariances per window,
 src/distmix.cpp:179-236) at that rate.
 
@@ -25,7 +29,8 @@ import time
 
 import numpy as np
 
-N_SNPS = int(os.environ.get("GAUSS_BENCH_SNPS", 24000))
+N_SNPS = int(os.environ.get("GAUSS_BENCH_SNPS", 64000))
+BP_SPAN = N_SNPS * 2000 // 3           # 1500 SNPs/Mb density
 MEASURED_FRAC = 0.4
 WINDOW_BP = 1_000_000
 WING_BP = 500_000
@@ -50,7 +55,7 @@ def main():
 
     os.makedirs(CACHE, exist_ok=True)
     t = time.time()
-    store = cached_panel(CACHE, N_SNPS, verbose=True)
+    store = cached_panel(CACHE, N_SNPS, verbose=True, bp_span=BP_SPAN)
     log(f"[bench] panel ready: {store.G.shape[0]} SNPs x "
         f"{store.G.shape[1]} subjects ({time.time()-t:.1f}s)")
 
@@ -64,19 +69,12 @@ def main():
     run = engine.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
     log(f"[bench] prepared: {len(run.table)} SNPs in table")
 
-    # warmup: compile kernels on the first window
-    t = time.time()
-    w0 = run.impute_window(lo, lo + WINDOW_BP - 1, WING_BP)
-    log(f"[bench] warmup window: M={w0.n_measured} U={w0.n_unmeasured} "
-        f"({time.time()-t:.1f}s incl. compile)")
-
-    # pass 1 compiles any remaining window-shape buckets (persistent
-    # compilation cache makes this fast on every run after the first);
-    # pass 2 is the steady-state headline measurement
+    # pass 1 = warmup: compiles the resident region kernel (persistent
+    # compilation cache makes this fast on every run after the first)
     t = time.time()
     res = run.impute_region(lo, hi, window_bp=WINDOW_BP, wing_size=WING_BP)
     n_imputed = int((res["type"] == 0).sum())
-    log(f"[bench] pass 1 (incl. bucket compiles): {n_imputed} SNPs in "
+    log(f"[bench] pass 1 (incl. compile): {n_imputed} SNPs in "
         f"{time.time()-t:.2f}s")
     # median of 3 timed passes: the tunneled device shows +-15%
     # run-to-run variance under shared load
@@ -94,7 +92,7 @@ def main():
 
     # roofline: kernel-only timing via an on-device scalar fetch (the
     # only reliable sync over tunneled transports), priced against the
-    # kernel's actual int8 MXU work.  inner_repeats slope-corrects the
+    # kernel's actual int MXU work.  inner_repeats slope-corrects the
     # per-dispatch round-trip latency (~25-60 ms over the tunnel) out
     # of the device number.
     k_out, plans = run.region_kernel_seconds(lo, hi, window_bp=WINDOW_BP,
@@ -108,39 +106,40 @@ def main():
             f"reps); dispatch round-trip ~{(k_1-k_sec)*1e3:.0f} ms")
     if k_sec is not None:
         from gauss_tpu.models.genome import _round_up
-        from gauss_tpu.ops.pallas_gram import ROW_TILE
+        from gauss_tpu.ops import pallas_gram as pg
+        R = pg.ROW_TILE
+        xb = pg.x_block_tiles()
+        eb = 0.5 if pg.gram_dtype() == jax.numpy.int4 else 1.0
         spec = engine._spec(run.pop_sizes, run.wgts)
         S = int(np.sum(spec.pop_sizes_padded))
         if engine._use_resident(run.wgts):
-            # resident kernel: windows are ROW_TILE-aligned bands
-            Mp = _round_up(max(p[2][2] for p in plans) + ROW_TILE - 1,
-                           ROW_TILE)
-            Up = _round_up(max(p[2][3] for p in plans) + ROW_TILE - 1,
-                           ROW_TILE)
+            # resident kernel: windows are (R*xb)-aligned bands
+            Mp = _round_up(max(p[2][2] for p in plans) + R * xb - 1,
+                           R * xb)
+            Up = _round_up(max(p[2][3] for p in plans) + R * xb - 1,
+                           R * xb)
         else:
             Mp = max(p[2][4] for p in plans)
             Up = max(p[2][5] for p in plans)
         Wp = _round_up(len(plans), engine.window_bucket)
-        # per window: per-pop int8 Grams C_mm [Mp,Mp] + C_um [Up,Mp]
-        # contract the full (padded) subject axis (window_kernel.py
-        # _int8_weighted_stats); solves are O(Mp^3) f32, negligible next
-        # to the S~33k reduction. 2 ops per MAC.
+        # per window: per-pop int Grams C_mm [Mp,Mp] + C_um [Up,Mp]
+        # contract the full (padded) subject axis; solves are O(Mp^3)
+        # f32, small next to the S~43k reduction. 2 ops per MAC.
         macs = Wp * (Mp * Mp + Up * Mp) * S
         tops = 2 * macs / k_sec / 1e12
         # measured chip peaks (probe6, slope method): int8 8k^3 matmul
-        # 461 TOPS, bf16 182 TFLOP/s -- the kernel is HBM-bound, so
-        # also report effective Gram streaming bandwidth vs the
-        # 819 GB/s HBM peak (Pallas loads 2*ROW_TILE*S bytes per
-        # output tile pair; symmetric pairs counted once)
+        # 461 TOPS; the kernel is stream-bound on the y tiles, so also
+        # report effective Gram streaming bandwidth vs the 819 GB/s
+        # HBM peak: one y tile (R*S*eb bytes) per (x-block, y-tile)
+        # pair plus each x band once
         V5E_INT8_TOPS = 461.0
-        from gauss_tpu.ops.pallas_gram import ROW_TILE, pair_tables
-        n_pairs = len(pair_tables(Mp // ROW_TILE, Mp // ROW_TILE,
-                                  Mp // ROW_TILE)[0]) \
-            + (Up // ROW_TILE) * (Mp // ROW_TILE)
-        gram_bytes = Wp * n_pairs * 2 * ROW_TILE * S
+        n_mm = len(pg.pair_tables(Mp // R, Mp // R, Mp // R, ib=xb)[0])
+        n_um = (Up // (R * xb)) * (Mp // R)
+        gram_bytes = Wp * ((n_mm + n_um) * R + (Mp + Up)) * S * eb
         log(f"[bench] region kernel (device-only): {k_sec*1e3:.1f} ms "
-            f"for Wp={Wp} windows (Mp={Mp}, Up={Up}, S={S})")
-        log(f"[bench] kernel int8 work {2*macs/1e12:.2f} Tops -> "
+            f"for Wp={Wp} windows (Mp={Mp}, Up={Up}, S={S}, "
+            f"dtype={'int4' if eb == 0.5 else 'int8'}, xb={xb})")
+        log(f"[bench] kernel int work {2*macs/1e12:.2f} Tops -> "
             f"{tops:.1f} TOPS achieved = {100*tops/V5E_INT8_TOPS:.1f}% of "
             f"measured int8 peak ({V5E_INT8_TOPS:.0f} TOPS); Gram "
             f"streaming {gram_bytes/k_sec/1e9:.0f} GB/s of 819 GB/s HBM")
@@ -159,13 +158,19 @@ def main():
     log(f"[bench] computeLD: {len(lds)} windows in {ld_elapsed:.2f}s "
         f"-> {len(lds)/ld_elapsed:.1f} LD windows/s")
 
-    # accuracy cross-check: fused device-linalg path vs host f64 path
+    # accuracy cross-check: fused device path vs host f64 path on the
+    # first window (the host path re-derives B11/B21 with float64
+    # combines and host linalg; the region rows for window 1 must
+    # match).  No device gather-kernel compile is involved.
     eng_h = GenomeEngine(store, snp_bucket=256, device_linalg=False)
     run_h = eng_h.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
     a = run_h.impute_window(lo, lo + WINDOW_BP - 1, WING_BP).table
-    b = w0.table
+    bmask = (res["bp"] >= lo) & (res["bp"] <= lo + WINDOW_BP - 1)
+    b = res[bmask].reset_index(drop=True)
+    assert len(a) == len(b), (len(a), len(b))
     imp = a["type"].to_numpy() == 0
-    max_dz = float(np.abs(a["z"].to_numpy()[imp] - b["z"].to_numpy()[imp]).max())
+    max_dz = float(np.abs(a["z"].to_numpy()[imp]
+                          - b["z"].to_numpy()[imp]).max())
     log(f"[bench] fused-vs-host max|dZ| = {max_dz:.2e}")
 
     # reference-style scalar baseline estimate

@@ -63,16 +63,49 @@ ROW_TILE = int(os.environ.get("GAUSS_ROW_TILE", 256))
 #: step leaves the MXU idle behind per-step sequencing overhead
 #: (measured 0.77 us/step wall vs 0.15 us of int8 compute); unrolling U
 #: k-tiles per step amortizes it and makes the y DMA U-fold larger.
-_K_UNROLL = int(os.environ.get("GAUSS_K_UNROLL", 4))
+#: With int4 streams the y DMA halves, so deeper unrolls pay: the 43
+#: window / 64k-SNP region bench measured U=4 89.7 ms, U=12 80.5 ms,
+#: U=21 82.5 ms device-only -> 12.
+_K_UNROLL = int(os.environ.get("GAUSS_K_UNROLL", 12))
+
+#: ROW_TILE-tiles per x band block in int4 mode: every output row
+#: resident in the x band divides the y re-stream count, and a 2-tile
+#: (512-row) int4 band fits the ~16 MiB VMEM (probe7).  MEASURED
+#: OUTCOME on the 43-window region bench: xb=2 LOSES (160.7 ms vs
+#: 89.7 ms device-only) -- band offsets must align to ROW_TILE*xb, so
+#: xb=2 inflates the padded window shapes (Mp 1536 -> 2048) and the
+#: O(Mp^2 Up) solves outgrow the Gram's bandwidth saving.  Default 1;
+#: the blocked path stays for A/B via GAUSS_X_BLOCK=2.
+X_BLOCK = int(os.environ.get("GAUSS_X_BLOCK", 1))
+
+
+def gram_dtype():
+    """Element type for Gram kernel inputs: int4 on real TPUs (exact
+    for shifted dosages in [-2, 2]; probe7 verified MXU support),
+    int8 on CPU (interpret-mode Pallas and the XLA CPU backend
+    reject sub-byte custom element sizes).  GAUSS_GRAM_INT4=0 forces
+    int8 everywhere (A/B knob)."""
+    if (jax.default_backend() != "cpu"
+            and os.environ.get("GAUSS_GRAM_INT4", "1") != "0"):
+        return jnp.int4
+    return jnp.int8
+
+
+def x_block_tiles(dtype=None) -> int:
+    """ROW_TILE-tiles per x band block for resident-mode callers (the
+    band must fit VMEM: int4 affords X_BLOCK tiles, int8 only 1)."""
+    if dtype is None:
+        dtype = gram_dtype()
+    return X_BLOCK if dtype == jnp.int4 else 1
 
 
 def _make_kernel(U: int, xrows: bool):
     """Grid-step body folding ``U`` consecutive K tiles.
 
-    ``xrows``: x_ref holds the full [ROW_TILE, S] band in VMEM, so
-    consecutive grid steps with the same x row tile (pair_tables is
+    ``xrows``: x_ref holds the full [IB*ROW_TILE, S] band in VMEM, so
+    consecutive grid steps with the same x block (pair_tables is
     i-major) never re-fetch it -- the dominant HBM stream drops from
-    2 tiles/step to ~1.  Otherwise x_ref is a [ROW_TILE, U*K_TILE]
+    2 tiles/step to ~1.  Otherwise x_ref is a [IB*ROW_TILE, U*K_TILE]
     block like y_ref."""
 
     def kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
@@ -135,17 +168,26 @@ def tile_tables(pop_sizes_padded: Sequence[int], pop_sizes: Sequence[int],
             np.asarray(betas, np.float32))
 
 
-def pair_tables(n_sym: int, n_rows: int, n_cols: int
+def pair_tables(n_sym: int, n_rows: int, n_cols: int, ib: int = 1
                 ) -> Tuple[np.ndarray, np.ndarray]:
-    """Row/col tile-pair lists: the first ``n_sym`` row tiles form a
-    symmetric block (keep j <= i only); the remaining row tiles pair
-    with every col tile.  All counts in ROW_TILE units."""
+    """Row-block/col tile-pair lists: the first ``n_sym`` row tiles form
+    a symmetric block with the cols (skip tiles strictly above the
+    diagonal); the remaining row tiles pair with every col tile.
+    ``ib`` = ROW_TILE-tiles per x block: ``pi`` entries are x-BLOCK
+    indices (block b covers row tiles [ib*b, ib*b + ib)), ``pj`` col
+    TILE indices.  A block whose top tile is still inside the
+    symmetric region keeps only j <= top tile (its few within-block
+    upper-triangle tiles are computed wastefully and fixed by
+    mirror_lower); blocks straddling or beyond n_sym pair with every
+    col."""
     pi, pj = [], []
-    for i in range(n_rows):
+    assert n_rows % ib == 0, (n_rows, ib)
+    for b in range(n_rows // ib):
+        top = ib * b + ib - 1
         for j in range(n_cols):
-            if i < n_sym and j > i:
+            if top < n_sym and j > top:
                 continue
-            pi.append(i)
+            pi.append(b)
             pj.append(j)
     return np.asarray(pi, np.int32), np.asarray(pj, np.int32)
 
@@ -157,15 +199,17 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
                      n_sym: int = 0,
                      interpret: bool = False,
                      nx: int = 0, ny: int = 0,
-                     x_tile0=None, y_tile0=None) -> jnp.ndarray:
+                     x_tile0=None, y_tile0=None,
+                     x_block: int = 1) -> jnp.ndarray:
     """T1[NX, NY] f32 = sum_k (alpha_k m_k) * X_k Y_k^T  (fused Pallas).
 
-    X: [NX, S] int8, Y: [NY, S] int8 with S = sum(pop_sizes_padded),
-    every population segment zero-padded to a K_TILE multiple, NX/NY
-    ROW_TILE multiples.  If ``n_sym`` > 0, the leading n_sym*ROW_TILE
-    rows of X are assumed identical to Y's leading rows and only the
-    lower-triangle tiles of that block are computed (mirror with
-    ``mirror_lower``); the tiles above stay uninitialized.
+    X: [NX, S] int8 or int4, Y: [NY, S] same dtype, with
+    S = sum(pop_sizes_padded), every population segment zero-padded to
+    a K_TILE multiple, NX/NY ROW_TILE multiples.  If ``n_sym`` > 0, the
+    leading n_sym*ROW_TILE rows of X are assumed identical to Y's
+    leading rows and only the lower-triangle tiles of that block are
+    computed (mirror with ``mirror_lower``); the tiles above stay
+    uninitialized.
 
     Region-resident mode: pass ``x_tile0``/``y_tile0`` (traced i32
     scalars, in ROW_TILE units) and output sizes ``nx``/``ny`` to
@@ -176,43 +220,54 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     the bp-sorted measured/unmeasured panels, and gathering rows from a
     (32, 128)-tiled int8 HBM array costs ~10x its bytes (measured), so
     block-offset streaming replaces materialization.
+
+    ``x_block``: ROW_TILE-tiles per resident x band (int4 affords 2 --
+    see X_BLOCK); every band row divides the y re-stream traffic, the
+    binding roofline.  Requires nx and x_tile0 to be multiples of
+    x_block (tiles); callers align with x_block_tiles().
     """
     NX, S = X.shape
     NY = Y.shape[0]
+    ib = x_block
     offset_mode = x_tile0 is not None
     if offset_mode:
         if not nx or not ny:
             raise ValueError("offset mode needs explicit nx/ny")
-        x_t0 = jnp.asarray(x_tile0, jnp.int32).reshape(1)
+        # x offset pre-divided to x-BLOCK units here in XLA: a floor
+        # div inside a Mosaic index map hits an infinite _convert_helper
+        # recursion in lowering (observed on v5e)
+        x_t0 = jnp.asarray(x_tile0, jnp.int32).reshape(1) // ib
         y_t0 = jnp.asarray(y_tile0, jnp.int32).reshape(1)
     else:
         nx, ny = NX, NY
         x_t0 = jnp.zeros(1, jnp.int32)
         y_t0 = jnp.zeros(1, jnp.int32)
-    if nx % ROW_TILE or ny % ROW_TILE:
+    if nx % (ROW_TILE * ib) or ny % ROW_TILE:
         raise ValueError(f"row counts ({nx}, {ny}) must be multiples of "
-                         f"{ROW_TILE}")
+                         f"({ROW_TILE}*{ib}, {ROW_TILE})")
     first, last, beta = tile_tables(pop_sizes_padded, pop_sizes, wgts)
     T = S // K_TILE
     if len(first) != T:
         raise ValueError("pop_sizes_padded does not match subject axis")
-    pi, pj = pair_tables(n_sym, nx // ROW_TILE, ny // ROW_TILE)
+    pi, pj = pair_tables(n_sym, nx // ROW_TILE, ny // ROW_TILE, ib=ib)
 
+    elem_bits = 4 if X.dtype == jnp.int4 else 8
+    XR = ROW_TILE * ib
     U = max(u for u in range(1, _K_UNROLL + 1) if T % u == 0)
-    xrows = ROW_TILE * S <= _XROWS_VMEM_CAP
+    xrows = XR * S * elem_bits // 8 <= _XROWS_VMEM_CAP
     if xrows:
         # second block index must stay i32 (a literal 0 traces as i64
         # under x64 and Mosaic rejects the mixed-type index map).
         # buffer_count=1: the band changes only once per ~T/U steps, so
         # double-buffering it would double the dominant VMEM cost for
         # an overlap that almost never fires.
-        x_spec = pl.BlockSpec((ROW_TILE, S),
+        x_spec = pl.BlockSpec((XR, S),
                               lambda g, t, f, l, b, pi, pj, xt, yt:
                               (xt[0] + pi[g], t * 0),
                               pipeline_mode=pl.Buffered(buffer_count=1),
                               memory_space=pltpu.VMEM)
     else:
-        x_spec = pl.BlockSpec((ROW_TILE, U * K_TILE),
+        x_spec = pl.BlockSpec((XR, U * K_TILE),
                               lambda g, t, f, l, b, pi, pj, xt, yt:
                               (xt[0] + pi[g], t),
                               memory_space=pltpu.VMEM)
@@ -226,13 +281,13 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
                          (yt[0] + pj[g], t),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_TILE, ROW_TILE),
+        out_specs=pl.BlockSpec((XR, ROW_TILE),
                                lambda g, t, f, l, b, pi, pj, xt, yt:
                                (pi[g], pj[g]),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((ROW_TILE, ROW_TILE), jnp.int32),
-            pltpu.VMEM((ROW_TILE, ROW_TILE), jnp.float32),
+            pltpu.VMEM((XR, ROW_TILE), jnp.int32),
+            pltpu.VMEM((XR, ROW_TILE), jnp.float32),
         ],
     )
     kwargs = {}
@@ -246,8 +301,9 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * len(pi) * ROW_TILE * ROW_TILE * S,
-            bytes_accessed=nx * S + ny * S + 4 * nx * ny,
+            flops=2 * len(pi) * XR * ROW_TILE * S,
+            bytes_accessed=(nx * S + ny * S) * elem_bits // 8
+            + 4 * nx * ny,
             transcendentals=0),
         interpret=interpret,
         **kwargs,

@@ -267,12 +267,19 @@ def _pallas_weighted_stats(Gm, Gu, spec: WindowKernelSpec):
 
     interpret = jax.default_backend() == "cpu"
     n_sym = Mp // pg.ROW_TILE
+    gdt = pg.gram_dtype()
+    xb = pg.x_block_tiles(gdt)
+    if (Mp + Up) % (pg.ROW_TILE * xb):
+        xb = 1
+    Gm_c = Gm_c.astype(gdt)
+    Gu_c = Gu_c.astype(gdt)
     big_mm_l, big_um_l = [], []
     for wi in range(W):
         X = jnp.concatenate([Gm_c[wi], Gu_c[wi]], axis=0)    # [Mp+Up, S]
         t1 = pg.weighted_gram_t1(X, Gm_c[wi], spec.pop_sizes,
                                  spec.pop_sizes_padded, spec.wgts,
-                                 n_sym=n_sym, interpret=interpret)
+                                 n_sym=n_sym, interpret=interpret,
+                                 x_block=xb)
         # shifted sums |S'| <= m/2, so these f32 products are exact for
         # m <= 8192 and ~6e-8 relative above; HIGHEST keeps the MXU from
         # dropping to bf16 passes on this small rank-P correction.
@@ -432,12 +439,17 @@ def _weighted_mm_stats(Gm, spec: WindowKernelSpec):
         Gm_c = (Gm - cs) * jnp.asarray(valid)[None, None, :]
         alpha = jnp.asarray(alpha_np)
         interpret = jax.default_backend() == "cpu"
+        gdt = pg.gram_dtype()
+        xb = pg.x_block_tiles(gdt)
+        if Mp % (pg.ROW_TILE * xb):
+            xb = 1
+        Gm_c = Gm_c.astype(gdt)
         outs = []
         for wi in range(W):
             t1 = pg.weighted_gram_t1(Gm_c[wi], Gm_c[wi], spec.pop_sizes,
                                      spec.pop_sizes_padded, spec.wgts,
                                      n_sym=Mp // pg.ROW_TILE,
-                                     interpret=interpret)
+                                     interpret=interpret, x_block=xb)
             sx = Sp_m[wi].astype(jnp.float32)
             t2 = jnp.dot(sx * alpha[None, :], sx.T, precision=_HI,
                          preferred_element_type=jnp.float32)
@@ -713,9 +725,21 @@ def window_impute(Gm, Gu, Z1, m_mask, u_mask, spec: WindowKernelSpec,
     else:
         # B11 = PSD + lam*I  =>  min eig >= lam >> min_abs_eig: the
         # MakePosDef clip is a no-op and Cholesky solves are equivalent.
+        # One triangular sweep suffices: with Y = L^-1 B21^T and
+        # y1 = L^-1 Z1,  info_i = b_i B11^-1 b_i^T = |Y[:, i]|^2  and
+        # z2 = B21 B11^-1 Z1 = Y^T y1 -- half the solve flops of
+        # cho_solve's two sweeps (the reference's fabs on info,
+        # src/distmix.cpp:224-229, is a no-op on a sum of squares).
         L = jnp.linalg.cholesky(B11f)
-        X = jax.scipy.linalg.cho_solve((L, True), B21f.transpose(0, 2, 1))
-        A = X.transpose(0, 2, 1)
+        Y = jax.scipy.linalg.solve_triangular(
+            L, B21f.transpose(0, 2, 1), lower=True)      # [W, Mp, Up]
+        y1 = jax.scipy.linalg.solve_triangular(
+            L, Z1.astype(jnp.float32)[:, :, None], lower=True)[:, :, 0]
+        z2 = jnp.einsum("wmu,wm->wu", Y, y1,
+                        preferred_element_type=jnp.float32)
+        info = jnp.einsum("wmu,wmu->wu", Y, Y,
+                          preferred_element_type=jnp.float32)
+        return z2 / jnp.sqrt(info), info
     z2 = jnp.einsum("wum,wm->wu", A, Z1.astype(jnp.float32),
                     preferred_element_type=jnp.float32)
     info = jnp.abs(jnp.einsum("wum,wum->wu", A, B21f,
@@ -920,14 +944,18 @@ def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
 
     def one_window(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1,
                    m_mask, u_mask):
+        # x band block factor follows the resident arrays' dtype (int4
+        # on TPU, prepare_resident_panel); genome._resident_batch_from_
+        # plans aligns band offsets and Mp/Up to R * x_block.
+        xb = pg.x_block_tiles(Xm.dtype)
         t1_mm = pg.weighted_gram_t1(
             Xm, Xm, seg_sizes, seg_padded, pw,
             n_sym=Mp // R, interpret=interpret, nx=Mp, ny=Mp,
-            x_tile0=m_t0, y_tile0=m_t0)
+            x_tile0=m_t0, y_tile0=m_t0, x_block=xb)
         t1_um = pg.weighted_gram_t1(
             Xu, Xm, seg_sizes, seg_padded, pw,
             n_sym=0, interpret=interpret, nx=Up, ny=Mp,
-            x_tile0=u_t0, y_tile0=m_t0)
+            x_tile0=u_t0, y_tile0=m_t0, x_block=xb)
         zero = jnp.zeros((), m_t0.dtype)
         mr = m_t0 * R
         ur = u_t0 * R
@@ -987,6 +1015,15 @@ def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
     @jax.jit
     def fn(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1, m_mask,
            u_mask):
+        # int4 conversion happens HERE, inside the jit: the shifted
+        # dosages are exact in [-2, 2], halving the Gram kernel's band
+        # and stream bytes, but int4 jax.Arrays cannot cross a jit
+        # boundary on this runtime (see prepare_resident_panel).  The
+        # converted copies are one cheap elementwise pass per dispatch.
+        from . import pallas_gram as pg
+        gdt = pg.gram_dtype()
+        Xm = Xm.astype(gdt)
+        Xu = Xu.astype(gdt)
         W = m_t0.shape[0]
         B = next(b for b in (4, 2, 1) if W % b == 0)
 
@@ -1014,14 +1051,17 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
                                  Up: int):
     """Resident distmix imputation (see _resident_block_builder)."""
     def tail(B11f, B21f, z1, mmk, umk):
+        # single-sweep solve: info = colsum((L^-1 B21^T)^2),
+        # z2 = (L^-1 B21^T)^T (L^-1 Z1) -- see window_impute
         L = jnp.linalg.cholesky(B11f)
-        X = jax.scipy.linalg.cho_solve((L, True),
-                                       B21f.transpose(0, 2, 1))
-        A = X.transpose(0, 2, 1)
-        z2 = jnp.einsum("wum,wm->wu", A, z1.astype(jnp.float32),
+        Y = jax.scipy.linalg.solve_triangular(
+            L, B21f.transpose(0, 2, 1), lower=True)
+        y1 = jax.scipy.linalg.solve_triangular(
+            L, z1.astype(jnp.float32)[:, :, None], lower=True)[:, :, 0]
+        z2 = jnp.einsum("wmu,wm->wu", Y, y1,
                         preferred_element_type=jnp.float32)
-        info = jnp.abs(jnp.einsum("wum,wum->wu", A, B21f,
-                                  preferred_element_type=jnp.float32))
+        info = jnp.einsum("wmu,wmu->wu", Y, Y,
+                          preferred_element_type=jnp.float32)
         return (z2 / jnp.sqrt(info), info)
 
     return _resident_scan(spec, Mp, Up, tail)
@@ -1066,6 +1106,11 @@ def prepare_resident_panel(G_dev, rows, n_rows: int,
     Returns (X_shifted [RN, S] int8, Sp [RN, P] f32, Mu [RN, P] f32,
     V [RN] f32) with the exact int32 arithmetic of
     _pallas_weighted_stats (shifts c = round(mean) in {0,1,2}).
+    X stays int8 across the jit boundary -- int4 jax.Arrays cannot be
+    passed into another jit on this runtime (RecursionError in jit
+    dispatch; probes/probe7_int4.py) -- and is converted to
+    pallas_gram.gram_dtype() INSIDE the consuming kernel
+    (_resident_scan).
 
     Pooled mode (spec.wgts is None): a single subject group -- Sp/Mu
     come back [RN, 1] (pooled shifted sum / mean) and V is the pooled

@@ -97,7 +97,9 @@ def make_scaled_panel(
 
 def cached_panel(cache_dir: str, n_snps: int, verbose: bool = False,
                  **kw) -> PanelStore:
-    tag = os.path.join(cache_dir, f"panel_{n_snps}")
+    span = kw.get("bp_span")
+    suffix = f"panel_{n_snps}" + (f"_{span}" if span else "")
+    tag = os.path.join(cache_dir, suffix)
     if os.path.isdir(tag):
         try:
             return PanelStore.load(tag)
