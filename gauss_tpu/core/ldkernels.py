@@ -63,7 +63,14 @@ def weighted_corr(Ga: np.ndarray, Gb: np.ndarray, pop_sizes, wgts,
         std_a = weighted_std(Ga, pop_sizes, wgts)
     if std_b is None:
         std_b = weighted_std(Gb, pop_sizes, wgts)
-    return cov / np.outer(std_a, std_b)
+    # A zero-variance (monomorphic-in-every-pop) SNP divides 0/0 here,
+    # exactly like the reference's CalWgtCov-based correlation
+    # (src/distmix.cpp:188-200 divides by SNP_STD_VEC entries that can
+    # be 0): the NaN PROPAGATES to that SNP's row/column by design --
+    # asserted in tests/test_edge_parity.py, documented in README
+    # deviations.  errstate only silences the incidental warning.
+    with np.errstate(divide="ignore", invalid="ignore"):
+        return cov / np.outer(std_a, std_b)
 
 
 @jax.jit

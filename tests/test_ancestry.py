@@ -330,3 +330,91 @@ def test_qp_against_enumeration_oracle():
         scale = max(1.0, abs(obj_ref))
         assert obj(D, d, w) <= obj_ref + 1e-7 * scale, (
             f"solver obj {obj(D, d, w)} > oracle obj {obj_ref}")
+
+
+def _meas_rows(synpanel, truth):
+    rs2row = {r: i for i, r in enumerate(synpanel.index_df["rsid"])}
+    return np.array([rs2row[r] for r in truth["rsid"]])
+
+
+def _oracle_pair_rows(synpanel, rows_i, rows_j, z_i, z_j):
+    """Scalar oracle for one batch of (i, j) pairs: col0 = z_i*z_j,
+    cols 1..P = per-pop Pearson r from the fixture genotypes
+    (per-pop-string CalCor, reference src/util.cpp:153-169)."""
+    b = np.concatenate([[0], np.cumsum(synpanel.desc.sizes)])
+    P = synpanel.desc.num_pops
+    out = np.empty((len(rows_i), 1 + P))
+    out[:, 0] = z_i * z_j
+    for r, (ri, rj) in enumerate(zip(rows_i, rows_j)):
+        for k in range(P):
+            gi = synpanel.genotypes[ri, b[k]:b[k + 1]]
+            gj = synpanel.genotypes[rj, b[k]:b[k + 1]]
+            out[r, 1 + k] = oracle.cal_cor_single(gi, gj)
+    return out
+
+
+def test_prep_zmix2_values(synpanel, gwas_input):
+    """Offset-pairing VALUES (reference loop src/zmix.cpp:737-786:
+    i += interval over ALL measured SNPs, pair (i, i+offset))."""
+    path, truth = gwas_input
+    interval, offset = 13, 3
+    mat = gauss_tpu.prep_zmix2(path, synpanel.files.index_file,
+                               synpanel.files.data_file,
+                               synpanel.files.pop_desc_file,
+                               interval=interval, offset=offset)
+    rows = _meas_rows(synpanel, truth)
+    z = truth["z"].to_numpy()
+    n = len(rows)
+    ii = np.array([i for i in range(0, n, interval) if i + offset < n])
+    want = _oracle_pair_rows(synpanel, rows[ii], rows[ii + offset],
+                             z[ii], z[ii + offset])
+    np.testing.assert_allclose(mat, want, rtol=1e-10, atol=1e-12)
+
+
+def test_prep_zmix3_values(synpanel, gwas_input):
+    """Steps-pairing VALUES (reference loop src/zmix.cpp:603-633:
+    strided subset, each SNP x its next ``steps`` subset neighbours,
+    in (i, then j) order)."""
+    path, truth = gwas_input
+    interval, steps = 11, 4
+    mat = gauss_tpu.prep_zmix3(path, synpanel.files.index_file,
+                               synpanel.files.data_file,
+                               synpanel.files.pop_desc_file,
+                               interval=interval, steps=steps)
+    rows = _meas_rows(synpanel, truth)[::interval]
+    z = truth["z"].to_numpy()[::interval]
+    nsub = len(rows)
+    pi, pj = [], []
+    for i in range(nsub):
+        for j in range(i + 1, min(i + 1 + steps, nsub)):
+            pi.append(i)
+            pj.append(j)
+    pi, pj = np.asarray(pi), np.asarray(pj)
+    want = _oracle_pair_rows(synpanel, rows[pi], rows[pj], z[pi], z[pj])
+    np.testing.assert_allclose(mat, want, rtol=1e-10, atol=1e-12)
+
+
+def test_prep_zmix4_values(synpanel, gwas_input):
+    """Interleaved offset-pairing VALUES incl. the h-index column
+    (reference loop src/zmix.cpp:457-493: for h in 0..interval-1,
+    i = h, h+interval, ...; row = [h, z_i z_j, r_pop...])."""
+    path, truth = gwas_input
+    interval, offset = 13, 3
+    mat = gauss_tpu.prep_zmix4(path, synpanel.files.index_file,
+                               synpanel.files.data_file,
+                               synpanel.files.pop_desc_file,
+                               interval=interval, offset=offset)
+    rows = _meas_rows(synpanel, truth)
+    z = truth["z"].to_numpy()
+    n = len(rows)
+    hs, ii = [], []
+    for h in range(interval):
+        for i in range(h, n, interval):
+            if i + offset < n:
+                hs.append(h)
+                ii.append(i)
+    hs, ii = np.asarray(hs), np.asarray(ii)
+    want = _oracle_pair_rows(synpanel, rows[ii], rows[ii + offset],
+                             z[ii], z[ii + offset])
+    np.testing.assert_allclose(mat[:, 0], hs.astype(float))
+    np.testing.assert_allclose(mat[:, 1:], want, rtol=1e-10, atol=1e-12)

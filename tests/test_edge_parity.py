@@ -209,3 +209,37 @@ def test_window_with_zero_unmeasured(edge_panel, tmp_path):
     run = GenomeEngine(store, snp_bucket=64,
                        device_linalg=True).prepare_mix(inp, WGT)
     assert run.impute_window(lo, hi, STEP * 10) is None
+
+
+def test_zero_variance_nan_propagation(edge_panel, tmp_path):
+    """A SNP that is constant-heterozygous (dosage 1 for every subject
+    in every pop) has af=0.5 (passes the cutoff) but zero variance:
+    the correlation normalization divides 0/0 and the NaN propagates
+    to its row/column -- the reference's exact behavior (CalCor
+    src/util.cpp:63-69; SNP_STD_VEC division src/distmix.cpp:188-200).
+    Other SNPs stay clean, and no RuntimeWarning escapes
+    (core/ldkernels.py silences the incidental numpy warning)."""
+    import warnings
+
+    from gauss_tpu.core import ldkernels
+
+    files, index_df, G, desc = edge_panel
+    Gz = G[:12].copy()
+    Gz[5, :] = 1                       # constant heterozygous
+    sizes = list(desc.sizes)
+    wgts = [0.4, 0.35, 0.25]
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")     # any warning -> failure
+        corr = ldkernels.weighted_corr(Gz, Gz, sizes, wgts)
+    bad = ~np.isfinite(corr)
+    assert bad[5].all() and bad[:, 5].all()      # NaN row + column
+    keep = np.ones(len(Gz), dtype=bool)
+    keep[5] = False
+    assert np.isfinite(corr[np.ix_(keep, keep)]).all()
+
+    # pooled (dist) estimator: same propagation contract
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        pc = ldkernels.pooled_corr(Gz, Gz)
+    assert not np.isfinite(pc[5, 0])
+    assert np.isfinite(pc[np.ix_(keep, keep)]).all()

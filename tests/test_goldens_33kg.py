@@ -91,3 +91,47 @@ def test_afmix_golden_weights():
         # weights are rounded to 3 decimals (src/afmix.cpp:195-202)
         assert pop in got, f"population {pop} missing from afmix output"
         np.testing.assert_allclose(got[pop], wgt, atol=1.5e-3)
+
+
+ANNOT = "data/JEPEG_SNP_Annotation.v1.0.txt"
+
+
+def _check_genes(res, gold):
+    """Top rows of the pval-sorted gene frame vs the executed-vignette
+    table (docs/articles/jepeg_example.md); chisq to 5e-5, identity
+    columns exact."""
+    res = res.sort_values("jepeg_pval").reset_index(drop=True)
+    got = res.set_index("geneid")
+    for geneid, chisq, df, top_categ, top_snp in gold:
+        assert geneid in got.index, f"gene {geneid} missing"
+        row = got.loc[geneid]
+        np.testing.assert_allclose(row["chisq"], chisq, atol=5e-5)
+        assert int(row["df"]) == df
+        assert row["top_categ"] == top_categ
+        assert row["top_snp"] == top_snp
+    # and the golden genes are the top of the ranking
+    top = list(res["geneid"].iloc[:len(gold)])
+    assert set(g[0] for g in gold) <= set(res["geneid"].iloc[:10])
+
+
+def _annotation_path():
+    p = os.path.join(REF, ANNOT) if REF else None
+    if p is None or not os.path.isfile(p):
+        pytest.skip("JEPEG annotation file not available "
+                    "(.MISSING_LARGE_BLOBS in the reference mirror)")
+    return p
+
+
+def test_jepeg_golden():
+    res = gauss_tpu.jepeg(
+        "GBR", os.path.join(REF, goldens.PGC2_CHR22_Z),
+        _annotation_path(), **_panel_files())
+    _check_genes(res, goldens.JEPEG_GOLD)
+
+
+def test_jepegmix_golden():
+    res = gauss_tpu.jepegmix(
+        gauss_tpu.PGC2_SCZ_ANC_Prop,
+        os.path.join(REF, goldens.PGC2_CHR22_Z),
+        _annotation_path(), **_panel_files())
+    _check_genes(res, goldens.JEPEGMIX_GOLD)
