@@ -649,33 +649,50 @@ class PreparedRun:
             pos = hi + 1
         if not windows:
             return []
-        # ONE bucketed shape for the whole region: a couple of windows
-        # pay extra padding, but the region compiles a single LD kernel
-        # instead of one per Mp bucket (cold-compile cost dominates any
-        # fresh-cache run otherwise)
-        Mp = _round_up(max(len(r) for r in windows),
-                       self.engine.snp_bucket)
-        fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts,
-                                fetch=fetch)
-        pending = []
-        for m_rows in windows:
-            M = len(m_rows)
-            m_idx = np.zeros((1, Mp), dtype=np.int32)
-            m_idx[0, :M] = self.g_row[m_rows]
-            m_mask = np.zeros((1, Mp), dtype=np.float32)
-            m_mask[0, :M] = 1.0
-            corr = fn(self._device_panel(), m_idx, m_mask)
-            pending.append((m_rows, M, Mp, corr))
-        for _, _, _, corr in pending:
-            try:
-                corr.copy_to_host_async()
-            except AttributeError:
-                break
+        if (self.engine._use_resident(self.wgts)
+                and (self.engine.region_mode == "resident"
+                     or os.environ.get("GAUSS_LD_RESIDENT") == "1")):
+            # one-dispatch resident LD: 0.08 s device for a 43-window
+            # region, but its compile is pathological on the remote
+            # service (>25 min) and tunneled fetch binds throughput
+            # anyway -- opt-in for fast-host-link deployments
+            raw_all, Mp, locs, fmt = self._ld_resident_region(windows,
+                                                              fetch)
+        else:
+            fmt = "tri" if fetch == "i16tri" else "f32"
+            # ONE bucketed shape for the whole region: a couple of
+            # windows pay extra padding, but the region compiles a
+            # single LD kernel instead of one per Mp bucket
+            # (cold-compile cost dominates any fresh-cache run
+            # otherwise).  Per-window dispatch + per-window fetch
+            # deliberately: the fetches overlap the later windows'
+            # dispatches, saturating the (slow, 7-30 MiB/s) tunneled
+            # host link -- measured FASTER than one stacked fetch
+            # (1.71 s vs 4.03 s for 43 windows).
+            Mp = _round_up(max(len(r) for r in windows),
+                           self.engine.snp_bucket)
+            fn = self.engine._ld_fn(Mp, self.pop_sizes, self.wgts,
+                                    fetch=fetch)
+            pending = [fn(self._device_panel(), *self._ld_window_inputs(
+                m_rows, Mp)) for m_rows in windows]
+            raw_all = [np.asarray(p)[0] for p in pending]
+            locs = [0] * len(windows)
         out = []
-        for m_rows, M, Mp, corr in pending:
-            raw = np.asarray(corr)
-            cormat = (unpack_tri_i16(raw[0], Mp, M) if fetch == "i16tri"
-                      else raw[0, :M, :M].astype(np.float64))
+        for m_rows, raw_row, loc in zip(windows, raw_all, locs):
+            M = len(m_rows)
+            if fmt == "tri":            # gather path, exact triangle
+                cormat = unpack_tri_i16(raw_row, Mp, M)
+            elif fmt == "blocktri":     # resident, block triangle
+                from ..ops.window_kernel import unpack_block_tri_i16
+                full = unpack_block_tri_i16(raw_row, Mp, loc + M)
+                cormat = full[loc:loc + M, loc:loc + M]
+            elif raw_row.dtype == np.int16:  # resident, quantized full
+                from ..ops.window_kernel import LD_I16_SCALE
+                cormat = raw_row[loc:loc + M, loc:loc + M].astype(
+                    np.float64) / LD_I16_SCALE
+            else:
+                cormat = raw_row[loc:loc + M, loc:loc + M].astype(
+                    np.float64)
             tt = t.iloc[m_rows]
             out.append({
                 "snplist": pd.DataFrame({
@@ -690,6 +707,65 @@ class PreparedRun:
                 "fetch": fetch,
             })
         return out
+
+    def _ld_window_inputs(self, m_rows, Mp):
+        M = len(m_rows)
+        m_idx = np.zeros((1, Mp), dtype=np.int32)
+        m_idx[0, :M] = self.g_row[m_rows]
+        m_mask = np.zeros((1, Mp), dtype=np.float32)
+        m_mask[0, :M] = 1.0
+        return m_idx, m_mask
+
+    def _ld_resident_region(self, windows, fetch):
+        """One-dispatch resident computeLD: every window is a
+        contiguous band of the bp-sorted measured panel, streamed by
+        build_resident_ld_kernel; returns (raw [W, ...], Mp, per-window
+        band row offsets)."""
+        from ..ops.pallas_gram import ROW_TILE, x_block_tiles
+        from ..ops.window_kernel import build_resident_ld_kernel
+        xb = x_block_tiles()
+        R = ROW_TILE * xb
+        t = self.table
+        typ = t["type"].to_numpy()
+        m_all = np.flatnonzero(typ == 1)
+        entries = []
+        for m_rows in windows:
+            M = len(m_rows)
+            mpos = int(np.searchsorted(m_all, m_rows[0]))
+            assert m_all[mpos + M - 1] == m_rows[-1], "non-contiguous"
+            mt0 = (mpos // R) * xb            # ROW_TILE units
+            entries.append((mpos - mt0 * ROW_TILE, mt0))
+        Mp = _round_up(max(loc + len(r)
+                           for (loc, _), r in zip(entries, windows)), R)
+        # useful-block bucket: the host fetch (7-15 MiB/s over tunneled
+        # transports) binds LD throughput, so only [SL, SL] blocks
+        # leave the device
+        SL = _round_up(max(len(r) for r in windows), 128)
+        W = len(windows)
+        Wp = _round_up(W, self.engine.window_bucket)
+        m_t0 = np.zeros(Wp, dtype=np.int32)
+        m_loc = np.zeros(Wp, dtype=np.int32)
+        m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+        for i, ((loc, mt0), m_rows) in enumerate(zip(entries, windows)):
+            m_t0[i] = mt0
+            # slice offset clamped so [loc, loc+SL) stays inside the band
+            m_loc[i] = min(loc, Mp - SL)
+            m_maskb[i, loc:loc + len(m_rows)] = 1.0
+        Xm, Xu, Spm, Spu, Mum, Muu, Vu = self._resident_arrays(Mp, R)
+        key = ("resident_ld", Mp, SL, fetch, self.pop_sizes, self.wgts)
+        fn = self.engine._fused_fns.get(key)
+        if fn is None:
+            fn = build_resident_ld_kernel(
+                self.engine._spec(self.pop_sizes, self.wgts), Mp,
+                fetch=fetch, SL=SL)
+            self.engine._fused_fns[key] = fn
+        raw = np.asarray(fn(Xm, Spm, Mum, jnp.asarray(m_t0),
+                            jnp.asarray(m_loc), jnp.asarray(m_maskb)))
+        # device-side slicing re-bases each window to its in-slice
+        # offset loc - m_loc (0 unless clamped)
+        locs = [e[0] - int(m_loc[i]) for i, e in enumerate(entries)]
+        fmt = "blocktri" if fetch == "i16tri" else fetch
+        return raw[:W], SL, locs, fmt
 
     def _ld_region_mesh(self, start_bp: int, end_bp: int,
                         window_bp: int, fetch: str = "f32") -> List[Dict]:
@@ -1036,16 +1112,17 @@ class PreparedRun:
         if batch is None:
             return None, []
         plans, inputs, panel, fn = batch
-        sync = jax.jit(lambda a, b: jnp.sum(a.astype(jnp.float32))
-                       + jnp.sum(b.astype(jnp.float32)))
+        sync = jax.jit(
+            lambda t: sum(jnp.sum(a.astype(jnp.float32))
+                          for a in jax.tree_util.tree_leaves(t)))
 
         def timed(f, inp):
             times = []
             f(*panel, *inp)  # compile
             for _ in range(repeats):
                 t0 = _time.time()
-                z, info = f(*panel, *inp)
-                float(sync(z, info))
+                out = f(*panel, *inp)
+                float(sync(out))
                 times.append(_time.time() - t0)
             return sorted(times)[len(times) // 2]
 
@@ -1064,8 +1141,10 @@ class PreparedRun:
                 eps = jnp.minimum(c, 0.0)   # runtime 0, not foldable
                 a = list(args)
                 a[n_panel + 2] = a[n_panel + 2] + eps
-                z, info = fn(*a)
-                return c + jnp.sum(z) + jnp.sum(info), None
+                out = fn(*a)
+                s = sum(jnp.sum(x.astype(jnp.float32))
+                        for x in jax.tree_util.tree_leaves(out))
+                return c + s, None
             out, _ = jax.lax.scan(step, jnp.zeros((), jnp.float32),
                                   None, length=inner_repeats)
             return out, out
@@ -1139,19 +1218,22 @@ class PreparedRun:
                                        wing_size)
             if batch is not None:
                 plans, inputs, panel, fn = batch
-                z, info = fn(*panel, *inputs)
-                for a in (z, info):
-                    try:
-                        a.copy_to_host_async()
-                    except AttributeError:
-                        break
+                out = fn(*panel, *inputs)
                 ck = ("asm", (start_bp, end_bp, window_bp, wing_size))
                 asm = self._res.get(ck)
                 if asm is None:
                     asm = self._region_assembly(plans)
                     self._res[ck] = asm
-                z = np.asarray(z)
-                info = np.asarray(info)
+                # single-device region kernels return ONE stacked
+                # [2, W, Up] array: one dispatch, one fetch (every
+                # extra executable dispatch or per-array fetch costs a
+                # ~33-60 ms round trip on tunneled transports); the
+                # mesh kernel returns the (z, info) tuple
+                if isinstance(out, tuple):
+                    z, info = np.asarray(out[0]), np.asarray(out[1])
+                else:
+                    zi = np.asarray(out)
+                    z, info = zi[0], zi[1]
                 out_z = asm["base_z"].copy()
                 out_info = asm["base_info"].copy()
                 out_z[asm["pos"]] = z[asm["win"], asm["col"]].astype(

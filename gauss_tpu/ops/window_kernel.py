@@ -50,6 +50,7 @@ Masking contract (all padding is EXACT, not approximate):
 from __future__ import annotations
 
 import dataclasses
+import os
 from functools import partial
 from typing import Optional, Sequence, Tuple
 
@@ -548,6 +549,54 @@ def pack_tri_i16(corr):
     return q[..., ti, tj]                     # [..., Mp*(Mp+1)//2]
 
 
+#: row-block height of the block-triangle packing
+TRI_BLOCK = 128
+
+
+def pack_block_tri_i16(corr: jnp.ndarray) -> jnp.ndarray:
+    """Block-triangle int16 packing of a symmetric [SL, SL] matrix:
+    row-block b (TRI_BLOCK rows) keeps its leading TRI_BLOCK*(b+1)
+    columns -- the lower triangle at block granularity (~SL*TRI_BLOCK/2
+    elements of overhead vs the exact triangle).  Pure static slices:
+    the exact-triangle GATHER both compiles pathologically inside
+    window scans (>25 min) and runs slowly; this is reshape+concat.
+    SL must be a TRI_BLOCK multiple."""
+    SL = corr.shape[-1]
+    q = jnp.clip(jnp.round(corr * LD_I16_SCALE),
+                 -LD_I16_SCALE, LD_I16_SCALE).astype(jnp.int16)
+    parts = []
+    for b in range(SL // TRI_BLOCK):
+        w = TRI_BLOCK * (b + 1)
+        parts.append(q[TRI_BLOCK * b:TRI_BLOCK * (b + 1), :w].reshape(-1))
+    return jnp.concatenate(parts)
+
+
+def block_tri_len(SL: int) -> int:
+    nb = SL // TRI_BLOCK
+    return TRI_BLOCK * TRI_BLOCK * nb * (nb + 1) // 2
+
+
+def unpack_block_tri_i16(flat: np.ndarray, SL: int, M: int) -> np.ndarray:
+    """Host inverse of pack_block_tri_i16 restricted to the leading
+    [M, M] block; float64 symmetric matrix."""
+    out = np.zeros((SL, SL))
+    off = 0
+    for b in range(SL // TRI_BLOCK):
+        w = TRI_BLOCK * (b + 1)
+        n = TRI_BLOCK * w
+        blk = np.asarray(flat[off:off + n], dtype=np.float64
+                         ).reshape(TRI_BLOCK, w) / LD_I16_SCALE
+        out[TRI_BLOCK * b:TRI_BLOCK * (b + 1), :w] = blk
+        off += n
+    # mirror the strictly-upper BLOCKS (the diagonal blocks are stored
+    # in full, so only columns beyond each row-block's width are absent)
+    for b in range(SL // TRI_BLOCK):
+        w = TRI_BLOCK * (b + 1)
+        out[TRI_BLOCK * b:TRI_BLOCK * (b + 1), w:] = \
+            out[w:, TRI_BLOCK * b:TRI_BLOCK * (b + 1)].T
+    return out[:M, :M]
+
+
 def unpack_tri_i16(tri: np.ndarray, Mp: int, M: int) -> np.ndarray:
     """Host-side inverse of pack_tri_i16 restricted to the leading
     M x M block: float64 symmetric matrix."""
@@ -853,10 +902,11 @@ def build_region_kernel(spec: WindowKernelSpec):
     reduces a region to exactly one upload, one launch and one fetch.
 
     Returns jitted (G_dev [R, S] int8, m_idx [W, Mp] i32, u_idx [W, Up]
-    i32, Z1 [W, Mp], m_mask [W, Mp], u_mask [W, Up]) -> (z [W, Up],
-    info [W, Up]).  Fully-masked (padding) windows are legal: B11
-    degenerates to (1+lam)*I and the masked outputs are dropped by the
-    caller.
+    i32, Z1 [W, Mp], m_mask [W, Mp], u_mask [W, Up]) -> ONE stacked
+    [2, W, Up] f32 array (z, info) -- a single-transfer output, see
+    build_resident_region_kernel.  Fully-masked (padding) windows are
+    legal: B11 degenerates to (1+lam)*I and the masked outputs are
+    dropped by the caller.
     """
     impute = partial(window_impute, spec=spec)
 
@@ -876,8 +926,8 @@ def build_region_kernel(spec: WindowKernelSpec):
         xs = tuple(a.reshape((W // B, B) + a.shape[1:])
                    for a in (m_idx, u_idx, Z1, m_mask, u_mask))
         _, (z, info) = jax.lax.scan(body, None, xs)
-        return (z.reshape((W,) + z.shape[2:]),
-                info.reshape((W,) + info.shape[2:]))
+        return jnp.stack([z.reshape((W,) + z.shape[2:]),
+                          info.reshape((W,) + info.shape[2:])])
 
     return fn
 
@@ -1025,7 +1075,11 @@ def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
         Xm = Xm.astype(gdt)
         Xu = Xu.astype(gdt)
         W = m_t0.shape[0]
-        B = next(b for b in (4, 2, 1) if W % b == 0)
+        # windows per scan step: batching widens the batched
+        # cholesky/solves (latency-bound) at the cost of a bigger
+        # compiled body; GAUSS_WIN_BATCH for A/B
+        b_pref = int(os.environ.get("GAUSS_WIN_BATCH", 4))
+        B = next(b for b in (b_pref, 4, 2, 1) if W % b == 0)
 
         def body(_, xs):
             mt, ut, z1, mmk, umk = xs
@@ -1049,7 +1103,12 @@ def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
 
 def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
                                  Up: int):
-    """Resident distmix imputation (see _resident_block_builder)."""
+    """Resident distmix imputation (see _resident_block_builder).
+
+    Returns ONE stacked [2, W, Up] f32 array (z, info) so the caller
+    fetches the whole region in a single host transfer -- every extra
+    executable dispatch or per-array fetch costs a ~33-60 ms round
+    trip on tunneled transports."""
     def tail(B11f, B21f, z1, mmk, umk):
         # single-sweep solve: info = colsum((L^-1 B21^T)^2),
         # z2 = (L^-1 B21^T)^T (L^-1 Z1) -- see window_impute
@@ -1064,7 +1123,105 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
                           preferred_element_type=jnp.float32)
         return (z2 / jnp.sqrt(info), info)
 
-    return _resident_scan(spec, Mp, Up, tail)
+    scan_fn = _resident_scan(spec, Mp, Up, tail)
+
+    @jax.jit
+    def fn(*args):
+        z, info = scan_fn(*args)     # inner jit inlines: ONE executable
+        return jnp.stack([z, info])
+
+    return fn
+
+
+def build_resident_ld_kernel(spec: WindowKernelSpec, Mp: int,
+                             fetch: str = "i16tri",
+                             SL: Optional[int] = None):
+    """Resident computeLD over a batch of windows in ONE dispatch
+    (src/computeLD.cpp:104-116 semantics: weighted correlations of the
+    window's measured SNPs, unit diagonal, NO ridge).
+
+    Streams each window's measured band from the bp-sorted resident
+    panel (same contiguity argument as the impute kernel; only the mm
+    Gram runs -- no unmeasured work).  The HOST FETCH is the binding
+    cost on tunneled transports (measured 7-15 MiB/s under load, vs
+    0.08 s of device time for a 43-window region), so the output is
+    minimized: each window's useful [SL, SL] block (SL = bucketed max
+    measured count <= Mp) is sliced out of the band matrix at its row
+    offset and packed -- "i16tri" packed int16 lower triangles
+    [W, SL(SL+1)/2], "i16full" quantized [W, SL, SL] int16, or "f32"
+    [W, SL, SL].  One dispatch + one fetch per region either way.
+
+    Jitted (Xm, Spm, Mum, m_t0 [W], m_loc [W], m_mask [W, Mp]) ->
+    output; m_loc is each window's first-row offset inside its band.
+    """
+    from . import pallas_gram as pg
+
+    pooled = spec.wgts is None
+    if pooled:
+        raise ValueError("resident LD requires population weights")
+    P = len(spec.pop_sizes)
+    m = np.asarray(spec.pop_sizes, dtype=np.float64)
+    w64 = np.asarray(spec.wgts, dtype=np.float64)
+    alpha = jnp.asarray((w64 * m / (m - 1.0)).astype(np.float32))
+    w = jnp.asarray(w64, dtype=jnp.float32)
+    R = pg.ROW_TILE
+    interpret = jax.default_backend() == "cpu"
+    SL = Mp if SL is None else SL
+
+    def one_window(Xm, Spm, Mum, m_t0, m_loc, m_mask):
+        xb = pg.x_block_tiles(Xm.dtype)
+        t1_mm = pg.weighted_gram_t1(
+            Xm, Xm, spec.pop_sizes, spec.pop_sizes_padded, spec.wgts,
+            n_sym=Mp // R, interpret=interpret, nx=Mp, ny=Mp,
+            x_tile0=m_t0, y_tile0=m_t0, x_block=xb)
+        zero = jnp.zeros((), m_t0.dtype)
+        mr = m_t0 * R
+        sxm = jax.lax.dynamic_slice(Spm, (mr, zero), (Mp, P))
+        mu_m = jax.lax.dynamic_slice(Mum, (mr, zero), (Mp, P))
+        t2_mm = jnp.dot(sxm * alpha[None, :], sxm.T, precision=_HI,
+                        preferred_element_type=jnp.float32)
+        big_mm = pg.mirror_lower(t1_mm) - t2_mm
+        mi_m = mu_m @ w
+        mimj_mm = jnp.einsum("mp,p,np->mn", mu_m, w, mu_m)
+        cov_mm = (big_mm + mimj_mm) - mi_m[:, None] * mi_m[None, :]
+        var_m = jnp.diagonal(cov_mm)
+        std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m, 1.0))
+        corr = cov_mm / (std_m[:, None] * std_m[None, :])
+        mm2 = (m_mask[:, None] * m_mask[None, :]).astype(corr.dtype)
+        corr = corr * mm2
+        eye = jnp.eye(Mp, dtype=corr.dtype)
+        corr = corr * (1.0 - eye) + eye
+        # fetch minimization: only the useful [SL, SL] block leaves
+        loc = jnp.asarray(m_loc, m_t0.dtype)
+        corr = jax.lax.dynamic_slice(corr, (loc, loc), (SL, SL))
+        if fetch == "i16tri":
+            return pack_block_tri_i16(corr)
+        if fetch == "i16full":
+            return jnp.clip(jnp.round(corr * LD_I16_SCALE),
+                            -LD_I16_SCALE, LD_I16_SCALE
+                            ).astype(jnp.int16)
+        return corr
+
+    @jax.jit
+    def fn(Xm, Spm, Mum, m_t0, m_loc, m_mask):
+        from . import pallas_gram as pg
+        Xm = Xm.astype(pg.gram_dtype())
+        W = m_t0.shape[0]
+        b_pref = int(os.environ.get("GAUSS_WIN_BATCH", 4))
+        B = next(b for b in (b_pref, 4, 2, 1) if W % b == 0)
+
+        def body(_, xs):
+            mt, ml, mmk = xs
+            outs = [one_window(Xm, Spm, Mum, mt[i], ml[i], mmk[i])
+                    for i in range(B)]
+            return None, jnp.stack(outs)
+
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
+                   for a in (m_t0, m_loc, m_mask))
+        _, out = jax.lax.scan(body, None, xs)
+        return out.reshape((W,) + out.shape[2:])
+
+    return fn
 
 
 def build_resident_qcat_kernel(spec: WindowKernelSpec, Mp: int, Up: int):

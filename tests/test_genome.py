@@ -495,3 +495,34 @@ def test_resident_region_boundary_fuzz(store, synpanel, gwas_input, cfg):
     np.testing.assert_allclose(a["z"].to_numpy()[imp],
                                b["z"].to_numpy()[imp],
                                rtol=2e-4, atol=2e-5)
+
+
+def test_resident_ld_region_matches_gather(store, synpanel, gwas_input):
+    """One-dispatch resident LD region (build_resident_ld_kernel,
+    band-streamed mm Gram, computeLD semantics src/computeLD.cpp:104-116)
+    vs the gather-based per-window LD kernels, both fetch modes."""
+    from gauss_tpu.io import readers
+    from gauss_tpu.ops.window_kernel import LD_I16_MAX_ERR
+
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=0)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    run_g = GenomeEngine(store, snp_bucket=64, device_linalg=True
+                         ).prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    run_r = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                         region_mode="resident"
+                         ).prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    wbp = (hi - lo) // 3
+    for fetch, tol in (("f32", 5e-5), ("i16tri", 2 * LD_I16_MAX_ERR)):
+        a = run_g.ld_region(lo, hi, window_bp=wbp, fetch=fetch)
+        b = run_r.ld_region(lo, hi, window_bp=wbp, fetch=fetch)
+        assert len(a) == len(b) > 1
+        for x, y in zip(a, b):
+            assert list(x["snplist"]["rsid"]) == list(y["snplist"]["rsid"])
+            assert x["cormat"].shape == y["cormat"].shape
+            np.testing.assert_array_equal(np.diag(y["cormat"]), 1.0)
+            d = np.abs(x["cormat"] - y["cormat"]).max()
+            assert d <= tol, (fetch, d)
