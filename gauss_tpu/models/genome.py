@@ -650,7 +650,8 @@ class PreparedRun:
         if not windows:
             return []
         if (self.engine._use_resident(self.wgts)
-                and (self.engine.region_mode == "resident"
+                and self.wgts is not None   # pooled LD has no resident
+                and (self.engine.region_mode == "resident"  # kernel
                      or os.environ.get("GAUSS_LD_RESIDENT") == "1")):
             # one-dispatch resident LD: 0.08 s device for a 43-window
             # region, but its compile is pathological on the remote
@@ -687,9 +688,8 @@ class PreparedRun:
                 full = unpack_block_tri_i16(raw_row, Mp, loc + M)
                 cormat = full[loc:loc + M, loc:loc + M]
             elif raw_row.dtype == np.int16:  # resident, quantized full
-                from ..ops.window_kernel import LD_I16_SCALE
-                cormat = raw_row[loc:loc + M, loc:loc + M].astype(
-                    np.float64) / LD_I16_SCALE
+                from ..ops.window_kernel import _dequant_i16
+                cormat = _dequant_i16(raw_row[loc:loc + M, loc:loc + M])
             else:
                 cormat = raw_row[loc:loc + M, loc:loc + M].astype(
                     np.float64)
@@ -949,8 +949,12 @@ class PreparedRun:
                                           spec)
         Xm, Spm, Mum, _ = build(m_all, Mp)
         Xu, Spu, Muu, Vu = build(u_all, Up)
-        self._res = {"arrays": (Xm, Xu, Spm, Spu, Mum, Muu, Vu),
-                     "caps": (Mp, Up)}
+        # update in place: self._res also caches ("batch", ...) /
+        # ("asm", ...) entries that must survive a cap-growing rebuild
+        # (already-built batches captured the OLD arrays, which stay
+        # valid for their own caps)
+        self._res.update({"arrays": (Xm, Xu, Spm, Spu, Mum, Muu, Vu),
+                          "caps": (Mp, Up)})
         return self._res["arrays"]
 
     def _resident_batch_from_plans(self, plans, zcol):

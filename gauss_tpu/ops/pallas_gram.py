@@ -99,19 +99,24 @@ def x_block_tiles(dtype=None) -> int:
     return X_BLOCK if dtype == jnp.int4 else 1
 
 
-def _make_kernel(U: int, xrows: bool):
+def _make_kernel(U: int, xrows: bool, batched: bool = False):
     """Grid-step body folding ``U`` consecutive K tiles.
 
     ``xrows``: x_ref holds the full [IB*ROW_TILE, S] band in VMEM, so
     consecutive grid steps with the same x block (pair_tables is
     i-major) never re-fetch it -- the dominant HBM stream drops from
     2 tiles/step to ~1.  Otherwise x_ref is a [IB*ROW_TILE, U*K_TILE]
-    block like y_ref."""
+    block like y_ref.
+
+    ``batched``: a leading window grid dimension is present (the K-step
+    axis is the LAST grid dim either way) and the output block carries
+    a unit window axis."""
 
     def kernel(first_ref, last_ref, beta_ref, pi_ref, pj_ref,
                xt_ref, yt_ref, x_ref, y_ref, o_ref, cacc, facc):
-        t = pl.program_id(1)
-        nt = pl.num_programs(1)
+        t_dim = 2 if batched else 1
+        t = pl.program_id(t_dim)
+        nt = pl.num_programs(t_dim)
 
         @pl.when(t == 0)
         def _():
@@ -137,7 +142,10 @@ def _make_kernel(U: int, xrows: bool):
 
         @pl.when(t == nt - 1)
         def _():
-            o_ref[:] = facc[:]
+            if batched:
+                o_ref[0] = facc[:]
+            else:
+                o_ref[:] = facc[:]
 
     return kernel
 
@@ -225,19 +233,28 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     see X_BLOCK); every band row divides the y re-stream traffic, the
     binding roofline.  Requires nx and x_tile0 to be multiples of
     x_block (tiles); callers align with x_block_tiles().
+
+    Batched-window mode: pass ``x_tile0``/``y_tile0`` as [W] int32
+    VECTORS -- the grid grows a leading window dimension
+    (W, n_pairs, T/U) and the output becomes [W, nx, ny].  One
+    pallas_call then computes EVERY window's Gram of a region: this is
+    what keeps region compiles linear (no unrolled per-window Python
+    loops in the XLA graph, VERDICT r4 item 5) and drops the per-call
+    dispatch/sequencing overhead of the scan formulation.
     """
     NX, S = X.shape
     NY = Y.shape[0]
     ib = x_block
     offset_mode = x_tile0 is not None
+    batched = offset_mode and np.ndim(x_tile0) == 1
     if offset_mode:
         if not nx or not ny:
             raise ValueError("offset mode needs explicit nx/ny")
         # x offset pre-divided to x-BLOCK units here in XLA: a floor
         # div inside a Mosaic index map hits an infinite _convert_helper
         # recursion in lowering (observed on v5e)
-        x_t0 = jnp.asarray(x_tile0, jnp.int32).reshape(1) // ib
-        y_t0 = jnp.asarray(y_tile0, jnp.int32).reshape(1)
+        x_t0 = jnp.asarray(x_tile0, jnp.int32).reshape(-1) // ib
+        y_t0 = jnp.asarray(y_tile0, jnp.int32).reshape(-1)
     else:
         nx, ny = NX, NY
         x_t0 = jnp.zeros(1, jnp.int32)
@@ -255,35 +272,60 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     XR = ROW_TILE * ib
     U = max(u for u in range(1, _K_UNROLL + 1) if T % u == 0)
     xrows = XR * S * elem_bits // 8 <= _XROWS_VMEM_CAP
+    W = int(x_t0.shape[0]) if batched else 1
+
+    if batched:
+        def xmap_rows(w, g, t, f, l, b, pi, pj, xt, yt):
+            return (xt[w] + pi[g], t * 0)
+
+        def xmap_blk(w, g, t, f, l, b, pi, pj, xt, yt):
+            return (xt[w] + pi[g], t)
+
+        def ymap(w, g, t, f, l, b, pi, pj, xt, yt):
+            return (yt[w] + pj[g], t)
+
+        def omap(w, g, t, f, l, b, pi, pj, xt, yt):
+            return (w, pi[g], pj[g])
+        grid = (W, len(pi), T // U)
+        out_shape = (W, nx, ny)
+        out_block = (1, XR, ROW_TILE)
+    else:
+        def xmap_rows(g, t, f, l, b, pi, pj, xt, yt):
+            return (xt[0] + pi[g], t * 0)
+
+        def xmap_blk(g, t, f, l, b, pi, pj, xt, yt):
+            return (xt[0] + pi[g], t)
+
+        def ymap(g, t, f, l, b, pi, pj, xt, yt):
+            return (yt[0] + pj[g], t)
+
+        def omap(g, t, f, l, b, pi, pj, xt, yt):
+            return (pi[g], pj[g])
+        grid = (len(pi), T // U)
+        out_shape = (nx, ny)
+        out_block = (XR, ROW_TILE)
+
     if xrows:
         # second block index must stay i32 (a literal 0 traces as i64
         # under x64 and Mosaic rejects the mixed-type index map).
         # buffer_count=1: the band changes only once per ~T/U steps, so
         # double-buffering it would double the dominant VMEM cost for
         # an overlap that almost never fires.
-        x_spec = pl.BlockSpec((XR, S),
-                              lambda g, t, f, l, b, pi, pj, xt, yt:
-                              (xt[0] + pi[g], t * 0),
+        x_spec = pl.BlockSpec((XR, S), xmap_rows,
                               pipeline_mode=pl.Buffered(buffer_count=1),
                               memory_space=pltpu.VMEM)
     else:
-        x_spec = pl.BlockSpec((XR, U * K_TILE),
-                              lambda g, t, f, l, b, pi, pj, xt, yt:
-                              (xt[0] + pi[g], t),
+        x_spec = pl.BlockSpec((XR, U * K_TILE), xmap_blk,
                               memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=7,
-        grid=(len(pi), T // U),
+        grid=grid,
         in_specs=[
             x_spec,
-            pl.BlockSpec((ROW_TILE, U * K_TILE),
-                         lambda g, t, f, l, b, pi, pj, xt, yt:
-                         (yt[0] + pj[g], t),
+            pl.BlockSpec((ROW_TILE, U * K_TILE), ymap,
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((XR, ROW_TILE),
-                               lambda g, t, f, l, b, pi, pj, xt, yt:
-                               (pi[g], pj[g]),
+        out_specs=pl.BlockSpec(out_block, omap,
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((XR, ROW_TILE), jnp.int32),
@@ -293,17 +335,17 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
     kwargs = {}
     try:
         kwargs["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary"))
+            dimension_semantics=("arbitrary",) * len(grid))
     except Exception:  # hint only; param surface varies across versions
         pass
     return pl.pallas_call(
-        _make_kernel(U, xrows),
-        out_shape=jax.ShapeDtypeStruct((nx, ny), jnp.float32),
+        _make_kernel(U, xrows, batched=batched),
+        out_shape=jax.ShapeDtypeStruct(out_shape, jnp.float32),
         grid_spec=grid_spec,
         cost_estimate=pl.CostEstimate(
-            flops=2 * len(pi) * XR * ROW_TILE * S,
-            bytes_accessed=(nx * S + ny * S) * elem_bits // 8
-            + 4 * nx * ny,
+            flops=2 * W * len(pi) * XR * ROW_TILE * S,
+            bytes_accessed=W * ((nx * S + ny * S) * elem_bits // 8
+                                + 4 * nx * ny),
             transcendentals=0),
         interpret=interpret,
         **kwargs,
@@ -311,9 +353,10 @@ def weighted_gram_t1(X: jnp.ndarray, Y: jnp.ndarray,
 
 
 def mirror_lower(A: jnp.ndarray) -> jnp.ndarray:
-    """Symmetrize a matrix whose strict upper triangle is garbage."""
+    """Symmetrize a matrix whose strict upper triangle is garbage
+    (batched over any leading dims)."""
     lo = jnp.tril(A)
-    return lo + jnp.tril(A, -1).T
+    return lo + jnp.swapaxes(jnp.tril(A, -1), -1, -2)
 
 
 def weighted_gram_reference(X, Y, pop_sizes, pop_sizes_padded, wgts):

@@ -533,6 +533,26 @@ LD_I16_SCALE = 32767.0
 #: round-to-int plus the f32 rounding of corr*32767 (|corr| <= 1, so
 #: that product rounds within 32767 * 2^-24 < 0.002 units)
 LD_I16_MAX_ERR = 0.502 / LD_I16_SCALE
+#: int16 NaN sentinel (outside the [-32767, 32767] clip range): the
+#: NaN-propagation contract for zero-variance SNPs (README deviations)
+#: survives quantized fetches -- astype(int) of NaN is implementation-
+#: defined, so NaN is encoded explicitly and restored by the unpackers
+LD_I16_NAN = -32768
+
+
+def _quant_i16(corr):
+    """[-1, 1] -> int16 fixed point, NaN -> LD_I16_NAN sentinel."""
+    q = jnp.clip(jnp.round(corr * LD_I16_SCALE),
+                 -LD_I16_SCALE, LD_I16_SCALE)
+    return jnp.where(jnp.isnan(corr), np.float32(LD_I16_NAN), q
+                     ).astype(jnp.int16)
+
+
+def _dequant_i16(raw_i16: np.ndarray) -> np.ndarray:
+    """Host inverse of _quant_i16 (float64, sentinel -> NaN)."""
+    out = np.asarray(raw_i16, dtype=np.float64) / LD_I16_SCALE
+    out[np.asarray(raw_i16) == LD_I16_NAN] = np.nan
+    return out
 
 
 def pack_tri_i16(corr):
@@ -541,11 +561,11 @@ def pack_tri_i16(corr):
     fixed-point -- 1/8 the bytes of the full f32 matrix, with
     |dr| <= LD_I16_MAX_ERR ~ 1.5e-5 (below the f32-vs-f64 stats noise
     at 33k subjects).  The diagonal is exactly 1.0 both ways (the
-    kernel forces it; 32767/32767 == 1)."""
+    kernel forces it; 32767/32767 == 1).  NaN correlations
+    (zero-variance SNPs) round-trip via the LD_I16_NAN sentinel."""
     Mp = corr.shape[-1]
     ti, tj = np.tril_indices(Mp)
-    q = jnp.clip(jnp.round(corr * LD_I16_SCALE),
-                 -LD_I16_SCALE, LD_I16_SCALE).astype(jnp.int16)
+    q = _quant_i16(corr)
     return q[..., ti, tj]                     # [..., Mp*(Mp+1)//2]
 
 
@@ -554,21 +574,23 @@ TRI_BLOCK = 128
 
 
 def pack_block_tri_i16(corr: jnp.ndarray) -> jnp.ndarray:
-    """Block-triangle int16 packing of a symmetric [SL, SL] matrix:
-    row-block b (TRI_BLOCK rows) keeps its leading TRI_BLOCK*(b+1)
-    columns -- the lower triangle at block granularity (~SL*TRI_BLOCK/2
-    elements of overhead vs the exact triangle).  Pure static slices:
-    the exact-triangle GATHER both compiles pathologically inside
-    window scans (>25 min) and runs slowly; this is reshape+concat.
-    SL must be a TRI_BLOCK multiple."""
+    """Block-triangle int16 packing of a symmetric [..., SL, SL]
+    matrix: row-block b (TRI_BLOCK rows) keeps its leading
+    TRI_BLOCK*(b+1) columns -- the lower triangle at block granularity
+    (~SL*TRI_BLOCK/2 elements of overhead vs the exact triangle).  Pure
+    static slices: the exact-triangle GATHER both compiles
+    pathologically inside window scans (>25 min) and runs slowly; this
+    is reshape+concat.  SL must be a TRI_BLOCK multiple; leading batch
+    dims pass through."""
     SL = corr.shape[-1]
-    q = jnp.clip(jnp.round(corr * LD_I16_SCALE),
-                 -LD_I16_SCALE, LD_I16_SCALE).astype(jnp.int16)
+    lead = corr.shape[:-2]
+    q = _quant_i16(corr)
     parts = []
     for b in range(SL // TRI_BLOCK):
         w = TRI_BLOCK * (b + 1)
-        parts.append(q[TRI_BLOCK * b:TRI_BLOCK * (b + 1), :w].reshape(-1))
-    return jnp.concatenate(parts)
+        parts.append(q[..., TRI_BLOCK * b:TRI_BLOCK * (b + 1), :w]
+                     .reshape(lead + (-1,)))
+    return jnp.concatenate(parts, axis=-1)
 
 
 def block_tri_len(SL: int) -> int:
@@ -584,8 +606,8 @@ def unpack_block_tri_i16(flat: np.ndarray, SL: int, M: int) -> np.ndarray:
     for b in range(SL // TRI_BLOCK):
         w = TRI_BLOCK * (b + 1)
         n = TRI_BLOCK * w
-        blk = np.asarray(flat[off:off + n], dtype=np.float64
-                         ).reshape(TRI_BLOCK, w) / LD_I16_SCALE
+        blk = _dequant_i16(np.asarray(flat[off:off + n])
+                           ).reshape(TRI_BLOCK, w)
         out[TRI_BLOCK * b:TRI_BLOCK * (b + 1), :w] = blk
         off += n
     # mirror the strictly-upper BLOCKS (the diagonal blocks are stored
@@ -603,7 +625,7 @@ def unpack_tri_i16(tri: np.ndarray, Mp: int, M: int) -> np.ndarray:
     ti, tj = np.tril_indices(Mp)
     keep = (ti < M) & (tj < M)
     out = np.zeros((M, M))
-    vals = np.asarray(tri, dtype=np.float64)[keep] / LD_I16_SCALE
+    vals = _dequant_i16(np.asarray(tri)[keep])
     out[ti[keep], tj[keep]] = vals
     out = out + out.T
     out[np.diag_indices(M)] /= 2.0
@@ -932,6 +954,29 @@ def build_region_kernel(spec: WindowKernelSpec):
     return fn
 
 
+def _slice_rows(A, offs, n: int):
+    """Batched [n, C] row slices of A [R, C] at per-window offsets
+    ``offs`` [W] (int32 rows)."""
+    zero = jnp.zeros((), offs.dtype)
+    if A.ndim == 1:
+        return jax.vmap(lambda o: jax.lax.dynamic_slice(A, (o,), (n,))
+                        )(offs)
+    return jax.vmap(lambda o: jax.lax.dynamic_slice(
+        A, (o, zero), (n, A.shape[1])))(offs)
+
+
+def _win_slabs(W: int, cap: int = None) -> int:
+    """Windows per batched slab: the whole region when it fits, else
+    the largest divisor of W within the cap (W is a window_bucket
+    multiple, so a >=4 divisor always exists).  Caps the [W, Mp, Mp]
+    HBM temporaries of the batched tail on very long regions."""
+    if cap is None:
+        cap = int(os.environ.get("GAUSS_WIN_SLAB", 64))
+    if W <= cap:
+        return W
+    return max(d for d in range(1, cap + 1) if W % d == 0)
+
+
 def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
     """Shared core of the resident kernels: per-window (B11, B21)
     correlation blocks streamed from resident panels.
@@ -992,8 +1037,15 @@ def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
     R = pg.ROW_TILE
     interpret = jax.default_backend() == "cpu"
 
-    def one_window(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1,
-                   m_mask, u_mask):
+    def blocks(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0,
+               m_mask, u_mask):
+        """Batched over a [W] window slab: m_t0/u_t0 are int32 VECTORS
+        of ROW_TILE-unit band offsets; returns (B11 [W, Mp, Mp],
+        B21 [W, Up, Mp]) f32.  Both Grams run as ONE batched-window
+        pallas_call each (grid (W, pairs, T/U)) -- no per-window Python
+        unrolling in the XLA graph, so region compiles stay linear in
+        the slab count, and the downstream solves see the full [W]
+        batch at once."""
         # x band block factor follows the resident arrays' dtype (int4
         # on TPU, prepare_resident_panel); genome._resident_batch_from_
         # plans aligns band offsets and Mp/Up to R * x_block.
@@ -1001,66 +1053,77 @@ def _resident_block_builder(spec: WindowKernelSpec, Mp: int, Up: int):
         t1_mm = pg.weighted_gram_t1(
             Xm, Xm, seg_sizes, seg_padded, pw,
             n_sym=Mp // R, interpret=interpret, nx=Mp, ny=Mp,
-            x_tile0=m_t0, y_tile0=m_t0, x_block=xb)
+            x_tile0=m_t0, y_tile0=m_t0, x_block=xb)     # [W, Mp, Mp]
         t1_um = pg.weighted_gram_t1(
             Xu, Xm, seg_sizes, seg_padded, pw,
             n_sym=0, interpret=interpret, nx=Up, ny=Mp,
-            x_tile0=u_t0, y_tile0=m_t0, x_block=xb)
-        zero = jnp.zeros((), m_t0.dtype)
+            x_tile0=u_t0, y_tile0=m_t0, x_block=xb)     # [W, Up, Mp]
         mr = m_t0 * R
         ur = u_t0 * R
-        sxm = jax.lax.dynamic_slice(Spm, (mr, zero), (Mp, P))
-        sxu = jax.lax.dynamic_slice(Spu, (ur, zero), (Up, P))
-        vu_big = jax.lax.dynamic_slice(Vu, (ur,), (Up,))
+        sxm = _slice_rows(Spm, mr, Mp)                  # [W, Mp, P]
+        sxu = _slice_rows(Spu, ur, Up)
+        vu_big = _slice_rows(Vu, ur, Up)                # [W, Up]
         if pooled:
             # cov = sum_s x'y' - S'x S'y / n  (= sum (x-xbar)(y-ybar))
-            t2_mm = jnp.dot(sxm * (1.0 / n), sxm.T, precision=_HI,
-                            preferred_element_type=jnp.float32)
-            t2_um = jnp.dot(sxu * (1.0 / n), sxm.T, precision=_HI,
-                            preferred_element_type=jnp.float32)
+            t2_mm = jnp.einsum("wmp,wnp->wmn", sxm * (1.0 / n), sxm,
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+            t2_um = jnp.einsum("wup,wmp->wum", sxu * (1.0 / n), sxm,
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
             cov_mm = pg.mirror_lower(t1_mm) - t2_mm
             cov_um = t1_um - t2_um
-            var_m = jnp.diagonal(cov_mm)
+            var_m = jnp.diagonal(cov_mm, axis1=1, axis2=2)
             var_u = vu_big
         else:
-            mu_m = jax.lax.dynamic_slice(Mum, (mr, zero), (Mp, P))
-            mu_u = jax.lax.dynamic_slice(Muu, (ur, zero), (Up, P))
-            t2_mm = jnp.dot(sxm * alpha[None, :], sxm.T, precision=_HI,
-                            preferred_element_type=jnp.float32)
-            t2_um = jnp.dot(sxu * alpha[None, :], sxm.T, precision=_HI,
-                            preferred_element_type=jnp.float32)
+            mu_m = _slice_rows(Mum, mr, Mp)
+            mu_u = _slice_rows(Muu, ur, Up)
+            t2_mm = jnp.einsum("wmp,wnp->wmn", sxm * alpha[None, None, :],
+                               sxm, precision=_HI,
+                               preferred_element_type=jnp.float32)
+            t2_um = jnp.einsum("wup,wmp->wum", sxu * alpha[None, None, :],
+                               sxm, precision=_HI,
+                               preferred_element_type=jnp.float32)
             big_mm = pg.mirror_lower(t1_mm) - t2_mm
             big_um = t1_um - t2_um
 
             # mean-product terms + normalization (CalWgtCov tail,
             # src/util.cpp:103-124), identical to window_corr_blocks
-            mi_m = mu_m @ w
+            mi_m = mu_m @ w                              # [W, Mp]
             mi_u = mu_u @ w
-            mimj_mm = jnp.einsum("mp,p,np->mn", mu_m, w, mu_m)
-            mimj_um = jnp.einsum("up,p,mp->um", mu_u, w, mu_m)
-            cov_mm = (big_mm + mimj_mm) - mi_m[:, None] * mi_m[None, :]
-            cov_um = (big_um + mimj_um) - mi_u[:, None] * mi_m[None, :]
-            var_m = jnp.diagonal(cov_mm)
+            mimj_mm = jnp.einsum("wmp,p,wnp->wmn", mu_m, w, mu_m)
+            mimj_um = jnp.einsum("wup,p,wmp->wum", mu_u, w, mu_m)
+            cov_mm = (big_mm + mimj_mm) \
+                - mi_m[:, :, None] * mi_m[:, None, :]
+            cov_um = (big_um + mimj_um) \
+                - mi_u[:, :, None] * mi_m[:, None, :]
+            var_m = jnp.diagonal(cov_mm, axis1=1, axis2=2)
             var_u = (vu_big + (mu_u * mu_u) @ w) - mi_u * mi_u
         std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m, 1.0))
         std_u = jnp.sqrt(jnp.where(u_mask > 0, var_u, 1.0))
-        B11 = cov_mm / (std_m[:, None] * std_m[None, :])
-        B21 = cov_um / (std_u[:, None] * std_m[None, :])
-        mm2 = (m_mask[:, None] * m_mask[None, :]).astype(B11.dtype)
+        B11 = cov_mm / (std_m[:, :, None] * std_m[:, None, :])
+        B21 = cov_um / (std_u[:, :, None] * std_m[:, None, :])
+        mm2 = (m_mask[:, :, None] * m_mask[:, None, :]).astype(B11.dtype)
         B11 = B11 * mm2
         eye = jnp.eye(Mp, dtype=B11.dtype)
         B11 = B11 * (1.0 - eye) + (1.0 + spec.lam) * eye
-        B21 = B21 * (u_mask[:, None] * m_mask[None, :]).astype(B21.dtype)
+        B21 = B21 * (u_mask[:, :, None] * m_mask[:, None, :]
+                     ).astype(B21.dtype)
         return B11.astype(jnp.float32), B21.astype(jnp.float32)
 
-    return one_window
+    return blocks
 
 
 def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
-    """Scan a resident-block computation over window batches;
-    ``tail(B11f, B21f, z1, mmk, umk)`` maps the stacked [B, ...]
-    correlation blocks to that batch's outputs."""
-    one_window = _resident_block_builder(spec, Mp, Up)
+    """Batched-window resident computation: the region's windows run as
+    ONE batched pallas Gram per block kind plus a W-batched XLA tail
+    (``tail(B11f, B21f, z1, mmk, umk)`` over the full [W] batch).  Very
+    long regions fall back to a lax.scan over fixed-size window slabs
+    (_win_slabs) to bound the [W, Mp, Mp] HBM temporaries -- the body
+    still compiles ONCE, keeping compile time flat in region length
+    (the round-4 formulation unrolled 4-window Python loops inside a
+    scan body, which compiled superlinearly: 300-670 s cold)."""
+    blocks = _resident_block_builder(spec, Mp, Up)
 
     @jax.jit
     def fn(Xm, Xu, Spm, Spu, Mum, Muu, Vu, m_t0, u_t0, Z1, m_mask,
@@ -1075,26 +1138,19 @@ def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
         Xm = Xm.astype(gdt)
         Xu = Xu.astype(gdt)
         W = m_t0.shape[0]
-        # windows per scan step: batching widens the batched
-        # cholesky/solves (latency-bound) at the cost of a bigger
-        # compiled body; GAUSS_WIN_BATCH for A/B
-        b_pref = int(os.environ.get("GAUSS_WIN_BATCH", 4))
-        B = next(b for b in (b_pref, 4, 2, 1) if W % b == 0)
+        B = _win_slabs(W)
 
-        def body(_, xs):
+        def slab(xs):
             mt, ut, z1, mmk, umk = xs
-            B11_l, B21_l = [], []
-            for i in range(B):
-                B11, B21 = one_window(Xm, Xu, Spm, Spu, Mum, Muu, Vu,
-                                      mt[i], ut[i], z1[i], mmk[i], umk[i])
-                B11_l.append(B11)
-                B21_l.append(B21)
-            return None, tail(jnp.stack(B11_l), jnp.stack(B21_l),
-                              z1, mmk, umk)
+            B11f, B21f = blocks(Xm, Xu, Spm, Spu, Mum, Muu, Vu,
+                                mt, ut, mmk, umk)
+            return tail(B11f, B21f, z1, mmk, umk)
 
-        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
-                   for a in (m_t0, u_t0, Z1, m_mask, u_mask))
-        _, outs = jax.lax.scan(body, None, xs)
+        xs = (m_t0, u_t0, Z1, m_mask, u_mask)
+        if B == W:
+            return slab(xs)
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:]) for a in xs)
+        _, outs = jax.lax.scan(lambda c, x: (c, slab(x)), None, xs)
         return jax.tree_util.tree_map(
             lambda o: o.reshape((W,) + o.shape[2:]), outs)
 
@@ -1168,38 +1224,37 @@ def build_resident_ld_kernel(spec: WindowKernelSpec, Mp: int,
     interpret = jax.default_backend() == "cpu"
     SL = Mp if SL is None else SL
 
-    def one_window(Xm, Spm, Mum, m_t0, m_loc, m_mask):
+    def slab(Xm, Spm, Mum, m_t0, m_loc, m_mask):
+        """Batched over a [W] window slab (see _resident_scan)."""
         xb = pg.x_block_tiles(Xm.dtype)
         t1_mm = pg.weighted_gram_t1(
             Xm, Xm, spec.pop_sizes, spec.pop_sizes_padded, spec.wgts,
             n_sym=Mp // R, interpret=interpret, nx=Mp, ny=Mp,
-            x_tile0=m_t0, y_tile0=m_t0, x_block=xb)
-        zero = jnp.zeros((), m_t0.dtype)
+            x_tile0=m_t0, y_tile0=m_t0, x_block=xb)     # [W, Mp, Mp]
         mr = m_t0 * R
-        sxm = jax.lax.dynamic_slice(Spm, (mr, zero), (Mp, P))
-        mu_m = jax.lax.dynamic_slice(Mum, (mr, zero), (Mp, P))
-        t2_mm = jnp.dot(sxm * alpha[None, :], sxm.T, precision=_HI,
-                        preferred_element_type=jnp.float32)
+        sxm = _slice_rows(Spm, mr, Mp)                  # [W, Mp, P]
+        mu_m = _slice_rows(Mum, mr, Mp)
+        t2_mm = jnp.einsum("wmp,wnp->wmn", sxm * alpha[None, None, :],
+                           sxm, precision=_HI,
+                           preferred_element_type=jnp.float32)
         big_mm = pg.mirror_lower(t1_mm) - t2_mm
         mi_m = mu_m @ w
-        mimj_mm = jnp.einsum("mp,p,np->mn", mu_m, w, mu_m)
-        cov_mm = (big_mm + mimj_mm) - mi_m[:, None] * mi_m[None, :]
-        var_m = jnp.diagonal(cov_mm)
+        mimj_mm = jnp.einsum("wmp,p,wnp->wmn", mu_m, w, mu_m)
+        cov_mm = (big_mm + mimj_mm) - mi_m[:, :, None] * mi_m[:, None, :]
+        var_m = jnp.diagonal(cov_mm, axis1=1, axis2=2)
         std_m = jnp.sqrt(jnp.where(m_mask > 0, var_m, 1.0))
-        corr = cov_mm / (std_m[:, None] * std_m[None, :])
-        mm2 = (m_mask[:, None] * m_mask[None, :]).astype(corr.dtype)
+        corr = cov_mm / (std_m[:, :, None] * std_m[:, None, :])
+        mm2 = (m_mask[:, :, None] * m_mask[:, None, :]).astype(corr.dtype)
         corr = corr * mm2
         eye = jnp.eye(Mp, dtype=corr.dtype)
         corr = corr * (1.0 - eye) + eye
         # fetch minimization: only the useful [SL, SL] block leaves
-        loc = jnp.asarray(m_loc, m_t0.dtype)
-        corr = jax.lax.dynamic_slice(corr, (loc, loc), (SL, SL))
+        corr = jax.vmap(lambda c, l: jax.lax.dynamic_slice(
+            c, (l, l), (SL, SL)))(corr, m_loc)
         if fetch == "i16tri":
             return pack_block_tri_i16(corr)
         if fetch == "i16full":
-            return jnp.clip(jnp.round(corr * LD_I16_SCALE),
-                            -LD_I16_SCALE, LD_I16_SCALE
-                            ).astype(jnp.int16)
+            return _quant_i16(corr)
         return corr
 
     @jax.jit
@@ -1207,18 +1262,13 @@ def build_resident_ld_kernel(spec: WindowKernelSpec, Mp: int,
         from . import pallas_gram as pg
         Xm = Xm.astype(pg.gram_dtype())
         W = m_t0.shape[0]
-        b_pref = int(os.environ.get("GAUSS_WIN_BATCH", 4))
-        B = next(b for b in (b_pref, 4, 2, 1) if W % b == 0)
-
-        def body(_, xs):
-            mt, ml, mmk = xs
-            outs = [one_window(Xm, Spm, Mum, mt[i], ml[i], mmk[i])
-                    for i in range(B)]
-            return None, jnp.stack(outs)
-
-        xs = tuple(a.reshape((W // B, B) + a.shape[1:])
-                   for a in (m_t0, m_loc, m_mask))
-        _, out = jax.lax.scan(body, None, xs)
+        B = _win_slabs(W)
+        xs = (m_t0, m_loc, m_mask)
+        if B == W:
+            return slab(Xm, Spm, Mum, *xs)
+        xs = tuple(a.reshape((W // B, B) + a.shape[1:]) for a in xs)
+        _, out = jax.lax.scan(
+            lambda c, x: (c, slab(Xm, Spm, Mum, *x)), None, xs)
         return out.reshape((W,) + out.shape[2:])
 
     return fn
