@@ -23,6 +23,10 @@ c++ -O2 -std=c++17 -w \
     "$HERE/main.cpp" \
     "$REF/gauss.cpp" "$REF/util.cpp" "$REF/snp.cpp" \
     "$REF/dist.cpp" "$REF/distmix.cpp" "$REF/computeLD.cpp" \
+    "$REF/qcat.cpp" "$REF/qcatmix.cpp" "$REF/prep_qcat.cpp" \
+    "$REF/prep_qcatmix.cpp" "$REF/afmix.cpp" "$REF/cpw2.cpp" \
+    "$REF/jepeg.cpp" "$REF/jepegmix.cpp" "$REF/gene.cpp" \
+    "$REF/zmix.cpp" \
     "$TMP/bgzf.o" \
     -lz -o "$OUT"
 echo "built $OUT"

@@ -177,7 +177,9 @@ class GenomeEngine:
         af1 = np.full(len(table), np.nan)
         af1[has] = self.store.af[g_row[has]][:, sel] @ wgts
         table = table.assign(af1mix=af1)
-        keep = np.ones(len(table), dtype=bool)
+        # type-2 rows (~has) drop like the reference's MakeSnpVecMix
+        # NaN-filter drops them (models/pipeline.load_window docstring)
+        keep = has.copy()
         keep[has] = (af1[has] > af1_cutoff) & (af1[has] < 1 - af1_cutoff)
         table = table[keep].reset_index(drop=True)
         g_row = g_row[keep]
@@ -201,7 +203,8 @@ class GenomeEngine:
         af = counts / (2.0 * float(sum(sizes)))
         af1[has] = np.ceil(af * 1e5) / 1e5
         table = table.assign(af1ref=af1)
-        keep = np.ones(len(table), dtype=bool)
+        # type-2 rows drop like the reference's MakeSnpVec NaN-filter
+        keep = has.copy()
         keep[has] = (af1[has] > af1_cutoff) & (af1[has] < 1 - af1_cutoff)
         table = table[keep].reset_index(drop=True)
         g_row = g_row[keep]
@@ -249,7 +252,7 @@ class GenomeEngine:
         else:
             af[has] = self.store.af[g_row[has]][:, sel] @ np.asarray(wgts)
             table = table.assign(af1mix=af)
-        keep = np.ones(n, dtype=bool)
+        keep = has.copy()   # type-2 rows drop (MakeSnpVec NaN-filter)
         keep[has] = (af[has] > af1_cutoff) & (af[has] < 1 - af1_cutoff)
 
         # gene SNPs: measured + annotated (src/jepeg.cpp:73-79)
@@ -1092,7 +1095,7 @@ class PreparedRun:
                               wing_size: int = 500_000,
                               repeats: int = 3,
                               inner_repeats: int = 0,
-                              slope_windows: int = 8):
+                              slope_windows: Optional[int] = None):
         """Bench instrumentation: median seconds for ONE region-kernel
         execution, synchronized by fetching an on-device scalar (a
         host fetch of the full output would measure the host link, and
@@ -1105,12 +1108,14 @@ class PreparedRun:
         carry perturbs Z1 so XLA cannot hoist the body) and returns
         ((one_dispatch_seconds, device_only_seconds), plans) -- the
         slope separates true device time from the per-dispatch
-        round-trip latency (~25-60 ms on tunneled transports).  The
-        slope runs on the batch's first ``slope_windows`` windows and
-        extrapolates by Wp/slope_windows (windows share one padded
-        shape, so per-window cost is homogeneous): compiling the
-        repeat-scan over the FULL region blows up XLA compile time
-        superlinearly (observed >25 min at 44 windows vs ~20 s at 8)."""
+        round-trip latency (~25-60 ms on tunneled transports).  By
+        default the slope runs the FULL batch (the batched-window
+        kernel body compiles once, so the repeat scan is cheap to
+        build); ``slope_windows`` restricts it to a leading sub-batch
+        and extrapolates by Wp/slope_windows.  NOTE the repeat scan
+        hoists loop-invariant preprocessing (the per-dispatch int4
+        panel conversion), so device_only excludes it while the
+        one-dispatch number includes it."""
         import time as _time
         batch = self._region_batch(start_bp, end_bp, window_bp, wing_size)
         if batch is None:
@@ -1135,8 +1140,8 @@ class PreparedRun:
             return t1, plans
 
         Wp = int(inputs[0].shape[0])
-        Ws = min(slope_windows, Wp)
-        sub = tuple(a[:Ws] for a in inputs)
+        Ws = Wp if slope_windows is None else min(slope_windows, Wp)
+        sub = inputs if Ws == Wp else tuple(a[:Ws] for a in inputs)
         n_panel = len(panel)
 
         @jax.jit
@@ -1144,6 +1149,14 @@ class PreparedRun:
             def step(c, _):
                 eps = jnp.minimum(c, 0.0)   # runtime 0, not foldable
                 a = list(args)
+                # poison EVERY window input (indices/offsets AND Z1):
+                # a flat batched body lets XLA hoist anything that does
+                # not depend on the scan carry -- perturbing Z1 alone
+                # leaves the Grams + Cholesky + trsm loop-invariant and
+                # the "device" slope measures only the tiny z tail
+                ieps = eps.astype(a[n_panel].dtype)
+                a[n_panel] = a[n_panel] + ieps
+                a[n_panel + 1] = a[n_panel + 1] + ieps
                 a[n_panel + 2] = a[n_panel + 2] + eps
                 out = fn(*a)
                 s = sum(jnp.sum(x.astype(jnp.float32))

@@ -241,7 +241,9 @@ def _jepeg_common(
     g_row = np.full(n, -1, dtype=np.int64)
     g_row[has_row] = np.arange(int(has_row.sum()))
 
-    keep = np.ones(n, dtype=bool)
+    # type-2 rows drop like the reference's MakeSnpVec[Mix] NaN-filter
+    # (models/pipeline.load_window docstring)
+    keep = np.asarray(has_row).copy()
     sel = dec.pop_index
     if study_pop is not None:
         counts = dec.G.astype(np.int64).sum(axis=1)

@@ -74,12 +74,17 @@ def load_window(
       af1mix = sum_k wgt_k * af1_k over flagged pops (no rounding);
       same cutoff.
 
-    Deviation from the reference: type-2 SNPs (measured, absent from the
-    panel) have no panel row; the reference "reads" one at an undefined
-    file position (fpos defaults to -1, the failed seek is ignored and a
-    stale line is parsed -- src/snp.cpp:31, src/gauss.cpp:561) and
-    filters on that garbage AF.  We keep type-2 SNPs unconditionally
-    with af NaN.
+    Type-2 SNPs (measured, absent from the panel) have no panel row;
+    the reference "reads" one at an undefined file position (fpos
+    defaults to -1, the failed seek leaves the stream where the
+    previous map entry ended -- src/snp.cpp:31, src/gauss.cpp:561) and
+    filters on the parsed garbage: in the common trailing case the read
+    hits EOF, af1ref = 0/0 = NaN, the cutoff comparison is false and
+    the SNP is DROPPED from snp_vec (verified against the compiled
+    reference binary, tests/test_ref_harness.py).  We drop type-2 rows
+    unconditionally -- identical to the reference for trailing type-2
+    SNPs, and deterministic (instead of stale-line-dependent) for
+    mid-table ones.
     """
     desc = readers.read_pop_desc(panel.pop_desc_file)
     if (study_pop is None) == (pop_wgt is None):
@@ -114,9 +119,11 @@ def load_window(
     g_row = np.full(n, -1, dtype=np.int64)
     g_row[has_row] = np.arange(int(has_row.sum()))
 
-    # AF computation + filter
+    # AF computation + filter; type-2 rows (no panel row) are dropped
+    # like the reference's MakeSnpVec[Mix] NaN-filter drops them (see
+    # docstring)
     sel = dec.pop_index
-    keep = np.ones(n, dtype=bool)
+    keep = np.asarray(has_row).copy()
     if study_pop is not None:
         af1 = np.full(n, np.nan)
         if has_row.any():

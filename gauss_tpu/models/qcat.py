@@ -170,9 +170,11 @@ def qcatmix(
     af1_cutoff: Optional[float] = None,
     settings: Settings = DEFAULT_SETTINGS,
 ) -> pd.DataFrame:
-    """Cosmopolitan causality test (reference: src/qcatmix.cpp)."""
+    """Cosmopolitan causality test (reference: src/qcatmix.cpp).
+    NOTE: unlike qcat (0.05), qcatmix's default af1_cutoff is 0.01
+    (src/qcatmix.cpp:61-64; caught by the compiled-reference diff)."""
     if af1_cutoff is None:
-        af1_cutoff = 0.05
+        af1_cutoff = 0.01
     panel = PanelFiles(reference_index_file, reference_data_file,
                        reference_pop_desc_file)
     inp = readers.read_input_z(input_file, chrom=chrom, start_bp=start_bp,
