@@ -626,15 +626,18 @@ class PreparedRun:
 
     def ld_region(self, start_bp: int, end_bp: int,
                   window_bp: int = 1_000_000,
-                  fetch: str = "f32") -> List[Dict]:
-        """ld_window over consecutive windows, every window dispatched
-        before any correlation matrix is fetched (the dense [M, M]
-        outputs dominate the host link here, so overlapping fetches
-        with dispatches beats the single-scan formulation that works
-        best for impute_region's tiny outputs).  ``fetch`` as in
-        ld_window ("f32" full precision by default; "i16tri" packs the
-        lower triangle into int16, 1/8 the bytes, |dr| <=
-        LD_I16_MAX_ERR, recorded under "fetch" in each dict)."""
+                  fetch: str = "i16tri") -> List[Dict]:
+        """ld_window over consecutive windows.  On TPU the windows run
+        as ONE batched-window resident dispatch (see below); on CPU /
+        gather mode every window is dispatched before any matrix is
+        fetched so fetches overlap dispatches.
+
+        ``fetch`` defaults to "i16tri" (engine throughput mode,
+        VERDICT r4 item 3): packed int16 triangles, 1/8 the bytes of
+        f32 with |dr| <= LD_I16_MAX_ERR ~ 1.5e-5 -- below the f32
+        statistics noise at 33k subjects; the mode is recorded under
+        "fetch" in each dict.  Pass fetch="f32" for full-precision
+        fetches; the per-call compute_ld API stays float64 exact."""
         t = self.table
         bp = t["bp"].to_numpy()
         typ = t["type"].to_numpy()
@@ -654,12 +657,15 @@ class PreparedRun:
             return []
         if (self.engine._use_resident(self.wgts)
                 and self.wgts is not None   # pooled LD has no resident
-                and (self.engine.region_mode == "resident"  # kernel
-                     or os.environ.get("GAUSS_LD_RESIDENT") == "1")):
-            # one-dispatch resident LD: 0.08 s device for a 43-window
-            # region, but its compile is pathological on the remote
-            # service (>25 min) and tunneled fetch binds throughput
-            # anyway -- opt-in for fast-host-link deployments
+                and os.environ.get("GAUSS_LD_RESIDENT") != "0"):
+            # DEFAULT (r5): one-dispatch resident LD -- 0.08 s device
+            # for a 43-window region vs 43 x ~33 ms gather round trips;
+            # the batched-window kernel compiles in ordinary time (the
+            # r4 per-window-scan formulation was the >25 min compile).
+            # The host fetch still binds on tunneled transports, so
+            # _ld_resident_region pulls per-window rows on a small
+            # thread pool (parallel streams measured 30 vs 23 MB/s,
+            # probes/probe14_fetch.py).
             raw_all, Mp, locs, fmt = self._ld_resident_region(windows,
                                                               fetch)
         else:
@@ -762,13 +768,20 @@ class PreparedRun:
                 self.engine._spec(self.pop_sizes, self.wgts), Mp,
                 fetch=fetch, SL=SL)
             self.engine._fused_fns[key] = fn
-        raw = np.asarray(fn(Xm, Spm, Mum, jnp.asarray(m_t0),
-                            jnp.asarray(m_loc), jnp.asarray(m_maskb)))
+        out = fn(Xm, Spm, Mum, jnp.asarray(m_t0),
+                 jnp.asarray(m_loc), jnp.asarray(m_maskb))
+        # per-window rows fetched on a thread pool: parallel streams
+        # aggregate ~1.3x the single-transfer tunnel rate (probe14),
+        # and the fetch -- not the 0.08 s of device time -- binds LD
+        # region throughput
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(4) as ex:
+            raw = list(ex.map(lambda i: np.asarray(out[i]), range(W)))
         # device-side slicing re-bases each window to its in-slice
         # offset loc - m_loc (0 unless clamped)
         locs = [e[0] - int(m_loc[i]) for i, e in enumerate(entries)]
         fmt = "blocktri" if fetch == "i16tri" else fetch
-        return raw[:W], SL, locs, fmt
+        return raw, SL, locs, fmt
 
     def _ld_region_mesh(self, start_bp: int, end_bp: int,
                         window_bp: int, fetch: str = "f32") -> List[Dict]:
@@ -1032,6 +1045,61 @@ class PreparedRun:
         self._res[("batch", ck)] = out
         return out
 
+    def _resident_aligned_batch(self, plans, zcol):
+        """Per-window ALIGNED resident layout for the impute region
+        kernel: each window's measured/unmeasured rows are re-gathered
+        into their own (R*xb)-aligned band of a dedicated panel (pad
+        rows = -1 sentinels between bands), so every band offset is 0
+        and the padded shapes shrink to round_up(max M/U, R*xb) --
+        vs the shared bp-sorted layout where the in-band offset
+        loc < R inflates Mp/Up by up to one extra ROW_TILE, growing
+        BOTH the Gram pair count and the O(Mp^2 Up) solves by ~20-35%.
+        Measured-extended windows overlap (wings), so measured rows
+        duplicate across bands (~2.4x one-time gather + HBM; unmeasured
+        prediction windows are disjoint -- padding only).
+
+        Returns (plans_out, inputs, arrays) with the same contracts as
+        _resident_batch_from_plans/_resident_arrays; arrays are
+        per-batch (cached by the _region_batch key), not shared."""
+        from ..ops.pallas_gram import ROW_TILE, x_block_tiles
+        from ..ops.window_kernel import prepare_resident_panel
+        xb = x_block_tiles()
+        R = ROW_TILE * xb
+        Mp = _round_up(max(p[2][2] for p in plans), R)
+        Up = _round_up(max(p[2][3] for p in plans), R)
+        W = len(plans)
+        Wp = _round_up(W, self.engine.window_bucket)
+        rows_m = np.full(Wp * Mp, -1, dtype=np.int32)
+        rows_u = np.full(Wp * Up, -1, dtype=np.int32)
+        m_t0 = np.zeros(Wp, dtype=np.int32)
+        u_t0 = np.zeros(Wp, dtype=np.int32)
+        Z1b = np.zeros((Wp, Mp))
+        m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
+        u_maskb = np.zeros((Wp, Up), dtype=np.float32)
+        plans_out = []
+        for i, (lo, hi, plan) in enumerate(plans):
+            m_rows, u_rows, M, U, *_ = plan
+            rows_m[i * Mp:i * Mp + M] = self.g_row[m_rows]
+            rows_u[i * Up:i * Up + U] = self.g_row[u_rows]
+            m_t0[i] = i * (Mp // ROW_TILE)
+            u_t0[i] = i * (Up // ROW_TILE)
+            Z1b[i, :M] = zcol[m_rows]
+            m_maskb[i, :M] = 1.0
+            u_maskb[i, :U] = 1.0
+        for i in range(W, Wp):           # padding windows: empty bands
+            m_t0[i] = i * (Mp // ROW_TILE)
+            u_t0[i] = i * (Up // ROW_TILE)
+        spec = self.engine._spec(self.pop_sizes, self.wgts)
+        G_dev = self._device_panel()
+        Xm, Spm, Mum, _ = prepare_resident_panel(
+            G_dev, jnp.asarray(rows_m), None, spec)
+        Xu, Spu, Muu, Vu = prepare_resident_panel(
+            G_dev, jnp.asarray(rows_u), None, spec)
+        arrays = (Xm, Xu, Spm, Spu, Mum, Muu, Vu)
+        plans_out = [(lo, hi, plan, (0, 0)) for lo, hi, plan in plans]
+        return plans_out, (m_t0, u_t0, Z1b, m_maskb, u_maskb), arrays, \
+            Mp, Up
+
     def _region_batch_build(self, start_bp: int, end_bp: int,
                             window_bp: int, wing_size: int):
         spans = []
@@ -1051,11 +1119,20 @@ class PreparedRun:
         mesh = self.engine.mesh
 
         if self.engine._use_resident(self.wgts):
-            plans_out, inputs, Mp, Up = self._resident_batch_from_plans(
-                plans, zcol)
-            arrays = self._resident_arrays(Mp, Up)
+            plans_out, inputs, arrays, Mp, Up = \
+                self._resident_aligned_batch(plans, zcol)
             fn = self.engine._resident_fn(Mp, Up, self.pop_sizes,
                                           self.wgts)
+            # compaction indices (same order as _region_assembly's
+            # win/col): the kernel gathers only REAL unmeasured rows
+            # so the host fetch skips the ~30% Up padding
+            wi = np.concatenate([
+                np.full(p[2][3], i, dtype=np.int32)
+                for i, p in enumerate(plans_out)])
+            ci = np.concatenate([
+                np.int32(p[3][1]) + np.arange(p[2][3], dtype=np.int32)
+                for p in plans_out])
+            inputs = inputs + (wi, ci)
             # upload the pass-invariant batch inputs once: repeated
             # region calls then dispatch with zero host->device traffic
             inputs = tuple(jnp.asarray(a) for a in inputs)
@@ -1212,6 +1289,50 @@ class PreparedRun:
             "af_col": af_col,
         }
 
+    def impute_region_async(self, start_bp: int, end_bp: int,
+                            window_bp: int = 1_000_000,
+                            wing_size: int = 500_000
+                            ) -> "RegionHandle":
+        """Dispatch the region kernel WITHOUT waiting: JAX dispatch is
+        asynchronous, so the returned handle's arrays compute on-device
+        while the host does other work -- fetch + output assembly for
+        region N overlap region N+1's device time when callers keep two
+        handles in flight (impute_regions does this; VERDICT r4 item 2:
+        nothing overlapped host assembly with device compute before).
+        Call .result() for the output frame."""
+        if not self.engine.device_linalg:
+            raise ValueError("impute_region_async requires device_linalg")
+        batch = self._region_batch(start_bp, end_bp, window_bp, wing_size)
+        if batch is None:
+            return RegionHandle(None, None)
+        plans, inputs, panel, fn = batch
+        out = fn(*panel, *inputs)          # async dispatch
+        ck = ("asm", (start_bp, end_bp, window_bp, wing_size))
+        asm = self._res.get(ck)
+        if asm is None:
+            asm = self._region_assembly(plans)
+            self._res[ck] = asm
+        return RegionHandle(out, asm)
+
+    def impute_regions(self, spans, window_bp: int = 1_000_000,
+                       wing_size: int = 500_000, depth: int = 2):
+        """Pipelined multi-region imputation: yields (start_bp, end_bp,
+        DataFrame) per span with up to ``depth`` regions in flight --
+        region N's host fetch/assembly runs while region N+1 computes
+        on the device."""
+        from collections import deque
+        pending: deque = deque()
+        for span in spans:
+            lo, hi = span
+            pending.append((lo, hi, self.impute_region_async(
+                lo, hi, window_bp, wing_size)))
+            if len(pending) >= depth + 1:
+                lo0, hi0, h = pending.popleft()
+                yield lo0, hi0, h.result()
+        while pending:
+            lo0, hi0, h = pending.popleft()
+            yield lo0, hi0, h.result()
+
     def impute_region(self, start_bp: int, end_bp: int,
                       window_bp: int = 1_000_000,
                       wing_size: int = 500_000) -> pd.DataFrame:
@@ -1219,49 +1340,23 @@ class PreparedRun:
         (plus wings) and impute them all.
 
         On the device path all windows of the region run as ONE
-        on-device scan (build_region_kernel) at a unified bucketed
-        (Mp, Up) shape: a single index upload + launch + z/info fetch
-        for the whole region instead of one round trip per window --
-        the host link, not the compute, is the bottleneck on tunneled
-        devices.  A unified shape also avoids fragmenting the batch
-        into per-shape groups that each pay window_bucket padding.
-        Batch inputs live on-device and the output frame skeleton is
-        precomputed (_region_assembly), so a steady-state pass costs
-        one dispatch + a [W, Up] fetch + a value scatter.
+        on-device dispatch (batched-window resident kernel) at a
+        unified bucketed (Mp, Up) shape: a single index upload + launch
+        + z/info fetch for the whole region instead of one round trip
+        per window -- the host link, not the compute, is the bottleneck
+        on tunneled devices.  A unified shape also avoids fragmenting
+        the batch into per-shape groups that each pay window_bucket
+        padding.  Batch inputs live on-device and the output frame
+        skeleton is precomputed (_region_assembly), so a steady-state
+        pass costs one dispatch + a [W, Up] fetch + a value scatter.
         """
         frames = []
         if self.engine.device_linalg:
-            batch = self._region_batch(start_bp, end_bp, window_bp,
-                                       wing_size)
-            if batch is not None:
-                plans, inputs, panel, fn = batch
-                out = fn(*panel, *inputs)
-                ck = ("asm", (start_bp, end_bp, window_bp, wing_size))
-                asm = self._res.get(ck)
-                if asm is None:
-                    asm = self._region_assembly(plans)
-                    self._res[ck] = asm
-                # single-device region kernels return ONE stacked
-                # [2, W, Up] array: one dispatch, one fetch (every
-                # extra executable dispatch or per-array fetch costs a
-                # ~33-60 ms round trip on tunneled transports); the
-                # mesh kernel returns the (z, info) tuple
-                if isinstance(out, tuple):
-                    z, info = np.asarray(out[0]), np.asarray(out[1])
-                else:
-                    zi = np.asarray(out)
-                    z, info = zi[0], zi[1]
-                out_z = asm["base_z"].copy()
-                out_info = asm["base_info"].copy()
-                out_z[asm["pos"]] = z[asm["win"], asm["col"]].astype(
-                    np.float64)
-                out_info[asm["pos"]] = info[asm["win"], asm["col"]].astype(
-                    np.float64)
-                cols = dict(asm["static"])
-                typ = cols.pop("type")
-                cols.update(z=out_z, pval=pnorm_two_sided(out_z),
-                            info=out_info, type=typ)
-                frames.append(pd.DataFrame(cols, copy=False))
+            h = self.impute_region_async(start_bp, end_bp, window_bp,
+                                         wing_size)
+            res = h.result()
+            if len(res):
+                frames.append(res)
         else:
             lo = start_bp
             while lo <= end_bp:
@@ -1273,6 +1368,56 @@ class PreparedRun:
         if not frames:
             return pd.DataFrame()
         return pd.concat(frames, ignore_index=True)
+
+
+class RegionHandle:
+    """In-flight region imputation (see impute_region_async): holds the
+    lazy device output + the precomputed assembly skeleton; .result()
+    fetches and assembles (the only blocking step)."""
+
+    __slots__ = ("_out", "_asm", "_frame")
+
+    def __init__(self, out, asm):
+        self._out = out
+        self._asm = asm
+        self._frame = None
+
+    def result(self) -> pd.DataFrame:
+        if self._frame is None:
+            if self._out is None:
+                self._frame = pd.DataFrame()
+            else:
+                asm = self._asm
+                # single-device region kernels return ONE stacked
+                # [2, W, Up] array: one dispatch, one fetch (every
+                # extra executable dispatch or per-array fetch costs a
+                # ~33-60 ms round trip on tunneled transports); the
+                # mesh kernel returns the (z, info) tuple
+                if isinstance(self._out, tuple):
+                    z = np.asarray(self._out[0])
+                    info = np.asarray(self._out[1])
+                else:
+                    zi = np.asarray(self._out)
+                    z, info = zi[0], zi[1]
+                self._out = None
+                out_z = asm["base_z"].copy()
+                out_info = asm["base_info"].copy()
+                if z.ndim == 1:
+                    # compacted [2, N] fetch: values already in the
+                    # assembly's win/col concat order
+                    out_z[asm["pos"]] = z.astype(np.float64)
+                    out_info[asm["pos"]] = info.astype(np.float64)
+                else:
+                    out_z[asm["pos"]] = z[asm["win"],
+                                          asm["col"]].astype(np.float64)
+                    out_info[asm["pos"]] = info[
+                        asm["win"], asm["col"]].astype(np.float64)
+                cols = dict(asm["static"])
+                typ = cols.pop("type")
+                cols.update(z=out_z, pval=pnorm_two_sided(out_z),
+                            info=out_info, type=typ)
+                self._frame = pd.DataFrame(cols, copy=False)
+        return self._frame
 
 
 @dataclasses.dataclass

@@ -1161,10 +1161,19 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
                                  Up: int):
     """Resident distmix imputation (see _resident_block_builder).
 
-    Returns ONE stacked [2, W, Up] f32 array (z, info) so the caller
-    fetches the whole region in a single host transfer -- every extra
-    executable dispatch or per-array fetch costs a ~33-60 ms round
-    trip on tunneled transports."""
+    Returns ONE stacked output so the caller fetches the whole region
+    in a single host transfer -- every extra executable dispatch or
+    per-array fetch costs a ~33-60 ms round trip on tunneled
+    transports.  Two call forms:
+
+      fn(..., m_mask, u_mask)           -> [2, W, Up]  (z, info)
+      fn(..., m_mask, u_mask, wi, ci)   -> [2, N]      compacted
+
+    The second gathers only the REAL unmeasured rows (wi/ci int32 [N]
+    window/column indices, static per region batch): Up padding is
+    ~30% of the [2, W, Up] fetch, and the device->host link does not
+    overlap device compute on tunneled transports, so fetched bytes
+    land directly in the pipelined steady-state headline."""
     def tail(B11f, B21f, z1, mmk, umk):
         # single-sweep solve: info = colsum((L^-1 B21^T)^2),
         # z2 = (L^-1 B21^T)^T (L^-1 Z1) -- see window_impute
@@ -1183,6 +1192,10 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
 
     @jax.jit
     def fn(*args):
+        if len(args) == 14:
+            args, (wi, ci) = args[:12], args[12:]
+            z, info = scan_fn(*args)
+            return jnp.stack([z[wi, ci], info[wi, ci]])
         z, info = scan_fn(*args)     # inner jit inlines: ONE executable
         return jnp.stack([z, info])
 
@@ -1303,13 +1316,16 @@ def build_resident_qcat_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
 
 
 @partial(jax.jit, static_argnames=("spec", "n_rows"))
-def prepare_resident_panel(G_dev, rows, n_rows: int,
+def prepare_resident_panel(G_dev, rows, n_rows: Optional[int],
                            spec: WindowKernelSpec):
     """One-time transform for the resident region kernel: gather the
     bp-sorted row subset (a one-time cost), zero the padding rows, and
     precompute shifted dosages + per-row statistics.
 
-    rows: [RN] int32 panel row ids, entries >= n_rows are padding.
+    rows: [RN] int32 panel row ids; entries at positions >= n_rows are
+    padding -- or, with n_rows=None, NEGATIVE entries are padding
+    (sentinel form, used by the per-window aligned layout where pad
+    rows interleave between window bands).
     Returns (X_shifted [RN, S] int8, Sp [RN, P] f32, Mu [RN, P] f32,
     V [RN] f32) with the exact int32 arithmetic of
     _pallas_weighted_stats (shifts c = round(mean) in {0,1,2}).
@@ -1337,8 +1353,12 @@ def prepare_resident_panel(G_dev, rows, n_rows: int,
         onehot[lo:lo + int(spec.pop_sizes[k]), k] = 1
     valid_d = jnp.asarray(valid)
 
+    if n_rows is None:
+        real = (rows >= 0).astype(jnp.int8)
+        rows = jnp.maximum(rows, 0)
+    else:
+        real = (jnp.arange(rows.shape[0]) < n_rows).astype(jnp.int8)
     X = take_rows(G_dev, rows)
-    real = (jnp.arange(rows.shape[0]) < n_rows).astype(jnp.int8)
     X = X * real[:, None]
     dn = (((1,), (0,)), ((), ()))
 

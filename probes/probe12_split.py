@@ -48,6 +48,7 @@ def main():
     run = engine.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
     batch = run._region_batch(lo, hi, 1_000_000, 500_000)
     plans, inputs, arrays, fn_full = batch
+    inputs12 = inputs[:5]   # variants take the 12-arg (uncompacted) form
     key = next(k for k in engine._fused_fns if k[0] == "resident")
     _, Mp, Up, _, _ = key
     spec = engine._spec(run.pop_sizes, run.wgts)
@@ -83,7 +84,8 @@ def main():
         lambda t: sum(jnp.sum(a.astype(jnp.float32))
                       for a in jax.tree_util.tree_leaves(t)))
 
-    def slope(f, label):
+    def slope(f, label, inp=None):
+        inp = inputs if inp is None else inp
         n_panel = len(arrays)
 
         @jax.jit
@@ -105,12 +107,12 @@ def main():
 
         def timed(g):
             t0 = time.time()
-            g(*arrays, *inputs)
+            g(*arrays, *inp)
             log(f"  {label}: compile+first {time.time()-t0:.0f}s")
             ts = []
             for _ in range(3):
                 t0 = time.time()
-                out = g(*arrays, *inputs)
+                out = g(*arrays, *inp)
                 float(sync(out))
                 ts.append(time.time() - t0)
             return sorted(ts)[1]
@@ -122,8 +124,8 @@ def main():
             f"{dev*1e3:.1f} ms")
         return dev
 
-    d_pallas = slope(fn_pallas, "pallas")
-    d_blocks = slope(fn_blocks, "blocks")
+    d_pallas = slope(fn_pallas, "pallas", inputs12)
+    d_blocks = slope(fn_blocks, "blocks", inputs12)
     d_full = slope(fn_full, "full")
     log(f"SPLIT: grams {d_pallas*1e3:.1f} ms, block tail "
         f"{(d_blocks-d_pallas)*1e3:.1f} ms, solves "
