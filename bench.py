@@ -29,6 +29,8 @@ import time
 
 import numpy as np
 
+WARM_ONLY = "--warm-only" in sys.argv
+
 N_SNPS = int(os.environ.get("GAUSS_BENCH_SNPS", 64000))
 BP_SPAN = N_SNPS * 2000 // 3           # 1500 SNPs/Mb density
 MEASURED_FRAC = 0.4
@@ -76,6 +78,19 @@ def main():
     n_imputed = int((res["type"] == 0).sum())
     log(f"[bench] pass 1 (incl. compile): {n_imputed} SNPs in "
         f"{time.time()-t:.2f}s")
+
+    if WARM_ONLY:
+        # `python bench.py --warm-only`: populate the persistent XLA
+        # cache (~/.cache/gauss_tpu_xla) with the exact bench shapes --
+        # region kernel above + the LD region kernel below -- so the
+        # first real bench/production run skips the 1-4 min cold
+        # compiles (see README "First run / warmup").
+        t = time.time()
+        run.ld_region(lo, hi, window_bp=WINDOW_BP)
+        log(f"[bench] LD kernel warmed ({time.time()-t:.1f}s)")
+        print(json.dumps({"metric": "warm-only", "value": 1,
+                          "unit": "ok", "vs_baseline": 0}))
+        return
     # median of 3 timed blocking passes (diagnostic: shows the
     # unpipelined per-region wall time incl. dispatch+fetch+assembly);
     # the tunneled device shows +-15% run-to-run variance under load
@@ -139,7 +154,10 @@ def main():
         else:
             Mp = max(p[2][4] for p in plans)
             Up = max(p[2][5] for p in plans)
-        Wp = _round_up(len(plans), engine.window_bucket)
+        from gauss_tpu.ops.window_kernel import _win_slabs
+        W = len(plans)
+        Wp = W if _win_slabs(W) == W else _round_up(
+            W, engine.window_bucket)
         # per window: per-pop int Grams C_mm [Mp,Mp] + C_um [Up,Mp]
         # contract the full (padded) subject axis; solves are O(Mp^3)
         # f32, small next to the S~43k reduction. 2 ops per MAC.
@@ -176,7 +194,19 @@ def main():
     lds = run.ld_region(lo, hi, window_bp=WINDOW_BP, fetch="i16tri")
     ld_elapsed = time.time() - t
     log(f"[bench] computeLD: {len(lds)} windows in {ld_elapsed:.2f}s "
-        f"-> {len(lds)/ld_elapsed:.1f} LD windows/s")
+        f"-> {len(lds)/ld_elapsed:.1f} LD windows/s (wall: fetch-bound "
+        f"on tunneled links, rate swings 5-30 MB/s with load)")
+    if engine._use_resident(run.wgts) and run.wgts is not None:
+        k_ld, n_ld = run.ld_region_kernel_seconds(lo, hi,
+                                                  window_bp=WINDOW_BP)
+        if k_ld:
+            nb = sum(x["cormat"].shape[0] * (x["cormat"].shape[0] + 1)
+                     for x in lds)  # int16 triangle bytes fetched
+            log(f"[bench] computeLD kernel-only: {n_ld} windows in "
+                f"{k_ld*1e3:.0f} ms (one dispatch incl. round trip) -> "
+                f"{n_ld/k_ld:.0f} LD windows/s device capability; "
+                f"fetch was {nb/2**20:.1f} MiB at "
+                f"{nb/2**20/max(ld_elapsed - k_ld, 1e-9):.1f} MiB/s")
 
     # accuracy cross-check: fused device path vs host f64 path on the
     # first window (the host path re-derives B11/B21 with float64

@@ -690,8 +690,9 @@ class PreparedRun:
         out = []
         for m_rows, raw_row, loc in zip(windows, raw_all, locs):
             M = len(m_rows)
-            if fmt == "tri":            # gather path, exact triangle
-                cormat = unpack_tri_i16(raw_row, Mp, M)
+            if fmt == "tri":            # exact triangle (loc: resident
+                full = unpack_tri_i16(raw_row, Mp, loc + M)  # rebase)
+                cormat = full[loc:loc + M, loc:loc + M]
             elif fmt == "blocktri":     # resident, block triangle
                 from ..ops.window_kernel import unpack_block_tri_i16
                 full = unpack_block_tri_i16(raw_row, Mp, loc + M)
@@ -725,11 +726,61 @@ class PreparedRun:
         m_mask[0, :M] = 1.0
         return m_idx, m_mask
 
+    def ld_region_kernel_seconds(self, start_bp: int, end_bp: int,
+                                 window_bp: int = 1_000_000,
+                                 fetch: str = "i16tri",
+                                 repeats: int = 3):
+        """Bench diagnostic: median seconds for one resident-LD region
+        DISPATCH, synchronized by an on-device scalar -- the
+        tunnel-independent device capability (the host fetch of the
+        packed triangles, not compute, binds wall-clock LD throughput
+        on tunneled transports).  Returns (seconds, n_windows)."""
+        import time as _time
+        t = self.table
+        bp = t["bp"].to_numpy()
+        typ = t["type"].to_numpy()
+        windows = []
+        pos = start_bp
+        while pos <= end_bp:
+            hi = min(pos + window_bp - 1, end_bp)
+            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
+            if len(m_rows):
+                windows.append(m_rows)
+            pos = hi + 1
+        if not windows:
+            return None, 0
+        fn, args, *_ = self._ld_resident_parts(windows, fetch)
+        sync = jax.jit(lambda a: jnp.sum(a[:1, :128].astype(jnp.float32)))
+        float(sync(fn(*args)))          # compile + warm
+        ts = []
+        for _ in range(repeats):
+            t0 = _time.time()
+            float(sync(fn(*args)))
+            ts.append(_time.time() - t0)
+        return sorted(ts)[len(ts) // 2], len(windows)
+
     def _ld_resident_region(self, windows, fetch):
         """One-dispatch resident computeLD: every window is a
         contiguous band of the bp-sorted measured panel, streamed by
         build_resident_ld_kernel; returns (raw [W, ...], Mp, per-window
         band row offsets)."""
+        fn, args, W, SL, entries, m_loc = self._ld_resident_parts(
+            windows, fetch)
+        out = fn(*args)
+        # per-window rows fetched on a thread pool: parallel streams
+        # aggregate ~1.3x the single-transfer tunnel rate (probe14),
+        # and the fetch -- not the 0.08 s of device time -- binds LD
+        # region throughput
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(4) as ex:
+            raw = list(ex.map(lambda i: np.asarray(out[i]), range(W)))
+        # device-side slicing re-bases each window to its in-slice
+        # offset loc - m_loc (0 unless clamped)
+        locs = [e[0] - int(m_loc[i]) for i, e in enumerate(entries)]
+        fmt = "blocktri" if fetch == "i16tri" else fetch
+        return raw, SL, locs, fmt
+
+    def _ld_resident_parts(self, windows, fetch):
         from ..ops.pallas_gram import ROW_TILE, x_block_tiles
         from ..ops.window_kernel import build_resident_ld_kernel
         xb = x_block_tiles()
@@ -751,7 +802,9 @@ class PreparedRun:
         # leave the device
         SL = _round_up(max(len(r) for r in windows), 128)
         W = len(windows)
-        Wp = _round_up(W, self.engine.window_bucket)
+        from ..ops.window_kernel import _win_slabs
+        Wp = W if _win_slabs(W) == W else _round_up(
+            W, self.engine.window_bucket)
         m_t0 = np.zeros(Wp, dtype=np.int32)
         m_loc = np.zeros(Wp, dtype=np.int32)
         m_maskb = np.zeros((Wp, Mp), dtype=np.float32)
@@ -768,20 +821,9 @@ class PreparedRun:
                 self.engine._spec(self.pop_sizes, self.wgts), Mp,
                 fetch=fetch, SL=SL)
             self.engine._fused_fns[key] = fn
-        out = fn(Xm, Spm, Mum, jnp.asarray(m_t0),
-                 jnp.asarray(m_loc), jnp.asarray(m_maskb))
-        # per-window rows fetched on a thread pool: parallel streams
-        # aggregate ~1.3x the single-transfer tunnel rate (probe14),
-        # and the fetch -- not the 0.08 s of device time -- binds LD
-        # region throughput
-        from concurrent.futures import ThreadPoolExecutor
-        with ThreadPoolExecutor(4) as ex:
-            raw = list(ex.map(lambda i: np.asarray(out[i]), range(W)))
-        # device-side slicing re-bases each window to its in-slice
-        # offset loc - m_loc (0 unless clamped)
-        locs = [e[0] - int(m_loc[i]) for i, e in enumerate(entries)]
-        fmt = "blocktri" if fetch == "i16tri" else fetch
-        return raw, SL, locs, fmt
+        args = (Xm, Spm, Mum, jnp.asarray(m_t0), jnp.asarray(m_loc),
+                jnp.asarray(m_maskb))
+        return fn, args, W, SL, entries, m_loc
 
     def _ld_region_mesh(self, start_bp: int, end_bp: int,
                         window_bp: int, fetch: str = "f32") -> List[Dict]:
@@ -1002,7 +1044,9 @@ class PreparedRun:
         Up = _round_up(max(e[1] + p[2][3]
                            for e, p in zip(entries, plans)), R)
         W = len(plans)
-        Wp = _round_up(W, self.engine.window_bucket)
+        from ..ops.window_kernel import _win_slabs
+        Wp = W if _win_slabs(W) == W else _round_up(
+            W, self.engine.window_bucket)
         m_t0 = np.zeros(Wp, dtype=np.int32)
         u_t0 = np.zeros(Wp, dtype=np.int32)
         Z1b = np.zeros((Wp, Mp))
@@ -1068,7 +1112,11 @@ class PreparedRun:
         Mp = _round_up(max(p[2][2] for p in plans), R)
         Up = _round_up(max(p[2][3] for p in plans), R)
         W = len(plans)
-        Wp = _round_up(W, self.engine.window_bucket)
+        from ..ops.window_kernel import _win_slabs
+        # the batched kernel needs no window padding when the region
+        # fits one slab; only the slab-scan fallback needs W divisible
+        Wp = W if _win_slabs(W) == W else _round_up(
+            W, self.engine.window_bucket)
         rows_m = np.full(Wp * Mp, -1, dtype=np.int32)
         rows_u = np.full(Wp * Up, -1, dtype=np.int32)
         m_t0 = np.zeros(Wp, dtype=np.int32)

@@ -267,8 +267,45 @@ class GenomeRunner:
             self._prefetch = {}
         return stats
 
+    def _record_done(self, cs, df) -> None:
+        df.to_parquet(self._result_path(cs))
+        cs.status = "done"
+        cs.error = None
+        cs.n_rows = int(len(df))
+        cs.n_imputed = (int((df["type"] == 0).sum())
+                        if len(df) and "type" in df.columns else 0)
+
+    def _record_fail(self, cs, e) -> None:
+        cs.status = "failed"
+        cs.error = f"{type(e).__name__}: {e}\n" + traceback.format_exc(
+            limit=5)
+
     def _run_queue(self, queue, stats, executor,
                    max_failures: Optional[int]) -> None:
+        # impute chunks pipeline on the device path: chunk N's region
+        # dispatch is asynchronous (impute_region_async), so its fetch
+        # + parquet write happen WHILE chunk N+1 computes on-device --
+        # the same overlap the bench's pipelined steady state measures
+        pending = None                      # (cs, t0, handle)
+
+        def finish(p):
+            cs0, t0, h = p
+            exc = None
+            try:
+                self._record_done(cs0, h.result())
+                stats["done"] += 1
+            except KeyboardInterrupt:
+                raise
+            except Exception as e:          # failure tolerance
+                self._record_fail(cs0, e)
+                stats["failed"] += 1
+                exc = e
+            cs0.elapsed = time.time() - t0
+            self._save_manifest()
+            if (exc is not None and max_failures is not None
+                    and stats["failed"] >= max_failures):
+                raise exc
+
         for qi, cs in enumerate(queue):
             if executor is not None and qi + 1 < len(queue):
                 nxt = queue[qi + 1]
@@ -279,6 +316,16 @@ class GenomeRunner:
             try:
                 with self.tracer.phase("chunk", key=cs.key):
                     run = self._prepared(cs)
+                    if (self.analysis == "impute"
+                            and self.engine.device_linalg):
+                        h = run.impute_region_async(
+                            cs.start_bp, cs.end_bp,
+                            window_bp=self.window_bp,
+                            wing_size=self.wing_size)
+                        prev, pending = pending, (cs, t0, h)
+                        if prev is not None:
+                            finish(prev)
+                        continue
                     if self.analysis == "impute":
                         df = run.impute_region(cs.start_bp, cs.end_bp,
                                                window_bp=self.window_bp,
@@ -293,19 +340,12 @@ class GenomeRunner:
                         blocks = run.ld_region(cs.start_bp, cs.end_bp,
                                                window_bp=self.window_bp)
                         df = self._save_ld_blocks(cs, blocks)
-                df.to_parquet(self._result_path(cs))
-                cs.status = "done"
-                cs.error = None
-                cs.n_rows = int(len(df))
-                cs.n_imputed = (int((df["type"] == 0).sum())
-                                if len(df) and "type" in df.columns else 0)
+                self._record_done(cs, df)
                 stats["done"] += 1
             except KeyboardInterrupt:
                 raise
             except Exception as e:  # failure tolerance: record + continue
-                cs.status = "failed"
-                cs.error = f"{type(e).__name__}: {e}\n" + traceback.format_exc(
-                    limit=5)
+                self._record_fail(cs, e)
                 stats["failed"] += 1
                 if (max_failures is not None
                         and stats["failed"] >= max_failures):
@@ -314,6 +354,8 @@ class GenomeRunner:
                     raise
             cs.elapsed = time.time() - t0
             self._save_manifest()
+        if pending is not None:
+            finish(pending)
 
     def _ld_matrix_path(self, cs: ChunkState) -> str:
         return os.path.join(self.run_dir, "results", f"{cs.key}_cormat.npz")

@@ -1157,6 +1157,107 @@ def _resident_scan(spec: WindowKernelSpec, Mp: int, Up: int, tail):
     return fn
 
 
+def _blocked_cholesky_lower(A, nb: int = 256):
+    """Batched lower Cholesky of A [W, M, M] by the right-looking block
+    algorithm: n = M/nb panel steps, each a small [W, nb, nb]
+    jnp.linalg.cholesky plus batched MXU matmuls for the Schur updates
+    and the below-diagonal panel (multiplied by the explicit inverse of
+    the diagonal factor).  XLA's Cholesky expansion runs its 128-wide
+    panels at a few % of flop peak (probe12 r5: 13.9 ms of a 55 ms
+    region against a ~1.5 ms flop floor); here everything except the
+    n tiny diagonal factorizations is an ordinary batched dot.
+    Numerics: identical update formula to the standard algorithm; the
+    explicit Lii^-1 rounds like a back-substitution scaled by
+    cond(Lii), benign for the ridge-regularized B11 (min eig >= 0.1).
+    Falls back to jnp.linalg.cholesky when M is not an nb multiple."""
+    W, M, _ = A.shape
+    nb = min(nb, M)
+    if M % nb or M == nb:
+        return jnp.linalg.cholesky(A)
+    n = M // nb
+    eye = jnp.broadcast_to(jnp.eye(nb, dtype=A.dtype), (W, nb, nb))
+    cols = []        # cols[k]: [W, M - k*nb, nb] = L[k*nb:, k-th block]
+    for i in range(n):
+        lo = i * nb
+        panel = A[:, lo:, lo:lo + nb]           # [W, M-lo, nb]
+        if i:
+            Lrows = jnp.concatenate(
+                [c[:, lo - k * nb:, :] for k, c in enumerate(cols)],
+                axis=2)                          # L[lo:, 0:i*nb]
+            Ltop = jnp.concatenate(
+                [c[:, lo - k * nb:lo - k * nb + nb, :]
+                 for k, c in enumerate(cols)], axis=2)  # L[i-block, 0:i]
+            panel = panel - jnp.einsum(
+                "wjk,wik->wji", Lrows, Ltop, precision=_HI,
+                preferred_element_type=jnp.float32)
+        Lii = jnp.linalg.cholesky(panel[:, :nb, :])
+        if i + 1 < n:
+            LiiInv = jax.scipy.linalg.solve_triangular(Lii, eye,
+                                                       lower=True)
+            below = jnp.einsum("wjk,wik->wji", panel[:, nb:, :], LiiInv,
+                               precision=_HI,
+                               preferred_element_type=jnp.float32)
+            cols.append(jnp.concatenate([Lii, below], axis=1))
+        else:
+            cols.append(Lii)
+    return jnp.concatenate(
+        [jnp.concatenate([jnp.zeros((W, k * nb, nb), A.dtype), c],
+                         axis=1) if k else c
+         for k, c in enumerate(cols)], axis=2)
+
+
+def _cholesky(A):
+    """Batched lower Cholesky: blocked-matmul algorithm by default
+    (GAUSS_BLOCKED_CHOL=0 falls back to jnp.linalg.cholesky)."""
+    if os.environ.get("GAUSS_BLOCKED_CHOL", "1") != "0":
+        return _blocked_cholesky_lower(A)
+    return jnp.linalg.cholesky(A)
+
+
+def _blocked_trsm_lower(L, B, nb: int = 256):
+    """X = L^-1 B for batched lower-triangular L [W, M, M] and
+    B [W, M, K], by block forward substitution with explicit
+    diagonal-block inverses.
+
+    XLA's TriangularSolve on TPU runs its sequential 128-wide panel
+    algorithm at ~12% of f32 flop peak (probe12 r5: the solves were a
+    third of region device time against a ~3 ms flop floor).  Here the
+    off-diagonal updates -- the O(M^2 K) bulk of the flops -- become
+    ordinary batched MXU matmuls; only the n = M/nb diagonal-block
+    inverses (n*nb^3/2 flops, ~2% of total) still go through
+    solve_triangular.  Python loop over n blocks (n <= 6 at production
+    shapes) keeps the graph small and static.
+
+    Accuracy: multiplying by an explicitly-inverted diagonal block
+    rounds like back-substitution scaled by cond(T_ii); B11's blocks
+    inherit min eig >= lambda = 0.1 from the ridge, so the error stays
+    at f32 solve scale (bench fused-vs-host max|dZ| unchanged at
+    ~1e-5).  Requires M % nb == 0 (region shapes are 256-aligned;
+    falls back to one whole-matrix block when M < nb)."""
+    W, M, _ = L.shape
+    nb = min(nb, M)
+    if M % nb:
+        return jax.scipy.linalg.solve_triangular(L, B, lower=True)
+    n = M // nb
+    eye = jnp.eye(nb, dtype=L.dtype)
+    Xs = []
+    for i in range(n):
+        sl = slice(i * nb, (i + 1) * nb)
+        acc = B[:, sl, :]
+        if i:
+            Lrow = L[:, sl, :i * nb]                    # [W, nb, i*nb]
+            Xcat = jnp.concatenate(Xs, axis=1)          # [W, i*nb, K]
+            acc = acc - jnp.einsum(
+                "wij,wjk->wik", Lrow, Xcat, precision=_HI,
+                preferred_element_type=jnp.float32)
+        Dinv = jax.scipy.linalg.solve_triangular(
+            L[:, sl, sl], jnp.broadcast_to(eye, (W, nb, nb)),
+            lower=True)
+        Xs.append(jnp.einsum("wij,wjk->wik", Dinv, acc, precision=_HI,
+                             preferred_element_type=jnp.float32))
+    return jnp.concatenate(Xs, axis=1)
+
+
 def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
                                  Up: int):
     """Resident distmix imputation (see _resident_block_builder).
@@ -1177,11 +1278,23 @@ def build_resident_region_kernel(spec: WindowKernelSpec, Mp: int,
     def tail(B11f, B21f, z1, mmk, umk):
         # single-sweep solve: info = colsum((L^-1 B21^T)^2),
         # z2 = (L^-1 B21^T)^T (L^-1 Z1) -- see window_impute
-        L = jnp.linalg.cholesky(B11f)
-        Y = jax.scipy.linalg.solve_triangular(
-            L, B21f.transpose(0, 2, 1), lower=True)
-        y1 = jax.scipy.linalg.solve_triangular(
-            L, z1.astype(jnp.float32)[:, :, None], lower=True)[:, :, 0]
+        L = _cholesky(B11f)
+        Up_ = B21f.shape[1]
+        if os.environ.get("GAUSS_BLOCKED_TRSM", "1") != "0":
+            # one blocked-matmul solve for [B21^T | Z1] (the appended
+            # Z1 column also removes a latency-bound [., ., 1] trsm)
+            rhs = jnp.concatenate(
+                [B21f.transpose(0, 2, 1),
+                 z1.astype(jnp.float32)[:, :, None]], axis=2)
+            Yall = _blocked_trsm_lower(L, rhs)
+            Y = Yall[:, :, :Up_]
+            y1 = Yall[:, :, Up_]
+        else:
+            Y = jax.scipy.linalg.solve_triangular(
+                L, B21f.transpose(0, 2, 1), lower=True)
+            y1 = jax.scipy.linalg.solve_triangular(
+                L, z1.astype(jnp.float32)[:, :, None],
+                lower=True)[:, :, 0]
         z2 = jnp.einsum("wmu,wm->wu", Y, y1,
                         preferred_element_type=jnp.float32)
         info = jnp.einsum("wmu,wmu->wu", Y, Y,
@@ -1265,6 +1378,10 @@ def build_resident_ld_kernel(spec: WindowKernelSpec, Mp: int,
         corr = jax.vmap(lambda c, l: jax.lax.dynamic_slice(
             c, (l, l), (SL, SL)))(corr, m_loc)
         if fetch == "i16tri":
+            # block-triangle pack (static slices): the exact-triangle
+            # batched GATHER was tried in r5 and CRASHED the TPU
+            # worker at the 43x[640,640] bench shapes -- 17% more
+            # bytes is the price of staying on reshape+concat
             return pack_block_tri_i16(corr)
         if fetch == "i16full":
             return _quant_i16(corr)
@@ -1297,12 +1414,23 @@ def build_resident_qcat_kernel(spec: WindowKernelSpec, Mp: int, Up: int):
 
     def tail(B11f, B21f, z1, mmk, umk):
         n = jnp.sum(mmk, axis=1)                          # = num_eig
-        L = jnp.linalg.cholesky(B11f)
-        Zt = jax.scipy.linalg.solve_triangular(
-            L, z1.astype(jnp.float32)[:, :, None], lower=True)[:, :, 0]
-        Xm = jax.scipy.linalg.solve_triangular(L, B11f, lower=True)
-        Xu = jax.scipy.linalg.solve_triangular(
-            L, B21f.transpose(0, 2, 1), lower=True)
+        L = _cholesky(B11f)
+        Mp_, Up_ = B11f.shape[1], B21f.shape[1]
+        if os.environ.get("GAUSS_BLOCKED_TRSM", "1") != "0":
+            rhs = jnp.concatenate(
+                [B11f, B21f.transpose(0, 2, 1),
+                 z1.astype(jnp.float32)[:, :, None]], axis=2)
+            Yall = _blocked_trsm_lower(L, rhs)
+            Xm = Yall[:, :, :Mp_]
+            Xu = Yall[:, :, Mp_:Mp_ + Up_]
+            Zt = Yall[:, :, Mp_ + Up_]
+        else:
+            Zt = jax.scipy.linalg.solve_triangular(
+                L, z1.astype(jnp.float32)[:, :, None],
+                lower=True)[:, :, 0]
+            Xm = jax.scipy.linalg.solve_triangular(L, B11f, lower=True)
+            Xu = jax.scipy.linalg.solve_triangular(
+                L, B21f.transpose(0, 2, 1), lower=True)
         scale2 = jnp.maximum(n - 3.0, 0.0)
         r_m = _masked_column_corr(Zt, Xm, mmk, n)
         r_u = _masked_column_corr(Zt, Xu, mmk, n)

@@ -61,6 +61,13 @@ def main():
 
     fn_blocks = wk._resident_scan(spec, Mp, Up, blocks_tail)
 
+    def chol_tail(B11f, B21f, z1, mmk, umk):
+        L = jnp.linalg.cholesky(B11f)
+        return (jnp.sum(L, axis=(1, 2)) + jnp.sum(B21f, axis=(1, 2))
+                + 0.0 * z1[:, 0],)
+
+    fn_chol = wk._resident_scan(spec, Mp, Up, chol_tail)
+
     seg = ((spec.pop_sizes, spec.pop_sizes_padded, spec.wgts))
 
     @jax.jit
@@ -126,10 +133,12 @@ def main():
 
     d_pallas = slope(fn_pallas, "pallas", inputs12)
     d_blocks = slope(fn_blocks, "blocks", inputs12)
+    d_chol = slope(fn_chol, "chol", inputs12)
     d_full = slope(fn_full, "full")
     log(f"SPLIT: grams {d_pallas*1e3:.1f} ms, block tail "
-        f"{(d_blocks-d_pallas)*1e3:.1f} ms, solves "
-        f"{(d_full-d_blocks)*1e3:.1f} ms")
+        f"{(d_blocks-d_pallas)*1e3:.1f} ms, cholesky "
+        f"{(d_chol-d_blocks)*1e3:.1f} ms, trsm+z "
+        f"{(d_full-d_chol)*1e3:.1f} ms")
 
 
 if __name__ == "__main__":

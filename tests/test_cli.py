@@ -218,6 +218,8 @@ def test_cli_genome_all_failed_exits_nonzero(synpanel, gwas_input, region,
         raise RuntimeError("synthetic chunk failure")
 
     monkeypatch.setattr(genome_mod.PreparedRun, "impute_region", _boom)
+    monkeypatch.setattr(genome_mod.PreparedRun, "impute_region_async",
+                        _boom)
     path, _ = gwas_input
     lo, hi = region
     wgt_file = tmp_path / "wgt.tsv"

@@ -372,9 +372,13 @@ def test_resident_region_matches_gather_region(store, synpanel, gwas_input):
     assert (df_r["rsid"].to_numpy() == df_g["rsid"].to_numpy()).all()
     imp = df_g["type"].to_numpy() == 0
     assert imp.sum() > 0
+    # both sides are f32 device solves but with different algorithms
+    # (resident: blocked-matmul trsm at 256-aligned shapes; gather:
+    # XLA TriangularSolve at the 64-bucket shapes), so agreement is
+    # f32-solve-noise scale, not bitwise
     np.testing.assert_allclose(df_r["z"].to_numpy()[imp],
                                df_g["z"].to_numpy()[imp],
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(df_r["info"].to_numpy()[imp],
                                df_g["info"].to_numpy()[imp],
                                rtol=2e-4, atol=2e-5)
@@ -435,9 +439,13 @@ def test_resident_pooled_matches_gather(store, synpanel, gwas_input):
     assert (df_r["rsid"].to_numpy() == df_g["rsid"].to_numpy()).all()
     imp = df_g["type"].to_numpy() == 0
     assert imp.sum() > 0
+    # both sides are f32 device solves but with different algorithms
+    # (resident: blocked-matmul trsm at 256-aligned shapes; gather:
+    # XLA TriangularSolve at the 64-bucket shapes), so agreement is
+    # f32-solve-noise scale, not bitwise
     np.testing.assert_allclose(df_r["z"].to_numpy()[imp],
                                df_g["z"].to_numpy()[imp],
-                               rtol=2e-4, atol=2e-5)
+                               rtol=2e-4, atol=1e-4)
     np.testing.assert_allclose(df_r["info"].to_numpy()[imp],
                                df_g["info"].to_numpy()[imp],
                                rtol=2e-4, atol=2e-5)

@@ -76,7 +76,7 @@ def test_failure_recorded_then_resumed(tmp_path, setup, monkeypatch):
 
     def flaky(self, cs=None):
         run = real(self, cs)
-        orig = run.impute_region
+        orig = run.impute_region_async
 
         def wrapped(start_bp, end_bp, **kw):
             calls["n"] += 1
@@ -85,7 +85,7 @@ def test_failure_recorded_then_resumed(tmp_path, setup, monkeypatch):
                 raise Boom("injected chunk failure")
             return orig(start_bp, end_bp, **kw)
 
-        run.impute_region = wrapped
+        run.impute_region_async = wrapped
         return run
 
     monkeypatch.setattr(GenomeRunner, "_prepared", flaky)
@@ -115,7 +115,7 @@ def test_restart_retries_failed_chunks(tmp_path, setup, monkeypatch):
 
     def flaky(self, cs=None):
         run = real(self, cs)
-        orig = run.impute_region
+        orig = run.impute_region_async
 
         def wrapped(start_bp, end_bp, **kw):
             calls["n"] += 1
@@ -124,7 +124,7 @@ def test_restart_retries_failed_chunks(tmp_path, setup, monkeypatch):
                 raise RuntimeError("injected chunk failure")
             return orig(start_bp, end_bp, **kw)
 
-        run.impute_region = wrapped
+        run.impute_region_async = wrapped
         return run
 
     monkeypatch.setattr(GenomeRunner, "_prepared", flaky)
