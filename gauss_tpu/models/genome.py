@@ -1167,8 +1167,24 @@ class PreparedRun:
         mesh = self.engine.mesh
 
         if self.engine._use_resident(self.wgts):
-            plans_out, inputs, arrays, Mp, Up = \
-                self._resident_aligned_batch(plans, zcol)
+            # aligned layout duplicates measured bands across wings
+            # (~2.4x rows); cap its HBM footprint -- very long direct
+            # regions (callers should chunk via GenomeRunner) fall back
+            # to the shared bp-sorted layout
+            from ..ops.pallas_gram import ROW_TILE, x_block_tiles
+            R = ROW_TILE * x_block_tiles()
+            Mp_a = _round_up(max(p[2][2] for p in plans), R)
+            Up_a = _round_up(max(p[2][3] for p in plans), R)
+            n_rows = len(plans) * (Mp_a + Up_a)
+            max_rows = int(os.environ.get("GAUSS_ALIGNED_MAX_ROWS",
+                                          200_000))
+            if n_rows <= max_rows:
+                plans_out, inputs, arrays, Mp, Up = \
+                    self._resident_aligned_batch(plans, zcol)
+            else:
+                plans_out, inputs, Mp, Up = \
+                    self._resident_batch_from_plans(plans, zcol)
+                arrays = self._resident_arrays(Mp, Up)
             fn = self.engine._resident_fn(Mp, Up, self.pop_sizes,
                                           self.wgts)
             # compaction indices (same order as _region_assembly's

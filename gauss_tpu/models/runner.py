@@ -363,7 +363,9 @@ class GenomeRunner:
     def _save_ld_blocks(self, cs: ChunkState, blocks) -> pd.DataFrame:
         """Persist one chunk of computeLD windows: the dense matrices go
         to a per-chunk .npz (one array per window), the snplists into the
-        regular parquet shard with a ``window`` id column."""
+        regular parquet shard with ``window`` id and ``fetch`` mode
+        columns (the engine default is the quantized i16tri transfer,
+        |dr| <= ~1.5e-5 -- recorded so consumers can tell)."""
         np.savez_compressed(self._ld_matrix_path(cs),
                             **{f"w{i}": b["cormat"]
                                for i, b in enumerate(blocks)})
@@ -371,6 +373,7 @@ class GenomeRunner:
         for i, b in enumerate(blocks):
             sl = b["snplist"].copy()
             sl.insert(0, "window", i)
+            sl["fetch"] = b.get("fetch", "f32")
             frames.append(sl)
         if not frames:
             return pd.DataFrame()

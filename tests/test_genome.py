@@ -534,3 +534,33 @@ def test_resident_ld_region_matches_gather(store, synpanel, gwas_input):
             np.testing.assert_array_equal(np.diag(y["cormat"]), 1.0)
             d = np.abs(x["cormat"] - y["cormat"]).max()
             assert d <= tol, (fetch, d)
+
+
+def test_aligned_fallback_matches(store, synpanel, gwas_input, monkeypatch):
+    """Very long regions fall back from the per-window aligned resident
+    layout to the shared bp-sorted layout (GAUSS_ALIGNED_MAX_ROWS cap);
+    both must impute identically up to f32 solve noise."""
+    from gauss_tpu.io import readers
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    wing = (hi - lo) // 6
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=wing)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    kw = dict(window_bp=(hi - lo) // 3 + 1, wing_size=wing)
+
+    def run_once():
+        eng = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                           region_mode="resident")
+        return eng.prepare_mix(inp, pop_wgt).impute_region(lo, hi, **kw)
+
+    df_a = run_once()
+    monkeypatch.setenv("GAUSS_ALIGNED_MAX_ROWS", "1")
+    df_s = run_once()
+    assert len(df_a) == len(df_s) > 0
+    imp = df_a["type"].to_numpy() == 0
+    assert imp.sum() > 0
+    np.testing.assert_allclose(df_a["z"].to_numpy()[imp],
+                               df_s["z"].to_numpy()[imp],
+                               rtol=2e-4, atol=1e-4)
