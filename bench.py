@@ -140,24 +140,19 @@ def main():
             f"{k_sec*1e3:.1f} ms device-only (slope of 4 in-dispatch "
             f"reps); dispatch round-trip ~{(k_1-k_sec)*1e3:.0f} ms")
     if k_sec is not None:
-        from gauss_tpu.models.genome import _round_up
         from gauss_tpu.ops import pallas_gram as pg
         R = pg.ROW_TILE
         xb = pg.x_block_tiles()
         eb = 0.5 if pg.gram_dtype() == jax.numpy.int4 else 1.0
         spec = engine._spec(run.pop_sizes, run.wgts)
         S = int(np.sum(spec.pop_sizes_padded))
-        if engine._use_resident(run.wgts):
-            # aligned resident layout: every window band starts at 0
-            Mp = _round_up(max(p[2][2] for p in plans), R * xb)
-            Up = _round_up(max(p[2][3] for p in plans), R * xb)
-        else:
-            Mp = max(p[2][4] for p in plans)
-            Up = max(p[2][5] for p in plans)
-        from gauss_tpu.ops.window_kernel import _win_slabs
-        W = len(plans)
-        Wp = W if _win_slabs(W) == W else _round_up(
-            W, engine.window_bucket)
+        # read the ACTUAL batch shapes (aligned layout, its
+        # shared-layout fallback, and gather mode all differ; deriving
+        # them here would drift)
+        _, b_inputs, _, _ = run._region_batch(lo, hi, WINDOW_BP, WING_BP)
+        Wp = int(b_inputs[0].shape[0])
+        Mp = int(b_inputs[2].shape[1])      # Z1b [Wp, Mp]
+        Up = int(b_inputs[4].shape[1])      # u_mask [Wp, Up]
         # per window: per-pop int Grams C_mm [Mp,Mp] + C_um [Up,Mp]
         # contract the full (padded) subject axis; solves are O(Mp^3)
         # f32, small next to the S~43k reduction. 2 ops per MAC.

@@ -624,6 +624,24 @@ class PreparedRun:
         })
         return {"snplist": snplist, "cormat": cormat, "fetch": fetch}
 
+    def _ld_windows(self, start_bp: int, end_bp: int, window_bp: int):
+        """Measured-SNP row lists of consecutive LD windows (computeLD
+        tiling: wing = 0, empty windows skipped) -- the single source
+        of window semantics for ld_region, its mesh variant and the
+        kernel-timing probe."""
+        t = self.table
+        bp = t["bp"].to_numpy()
+        typ = t["type"].to_numpy()
+        windows = []
+        pos = start_bp
+        while pos <= end_bp:
+            hi = min(pos + window_bp - 1, end_bp)
+            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
+            if len(m_rows):
+                windows.append(m_rows)
+            pos = hi + 1
+        return windows
+
     def ld_region(self, start_bp: int, end_bp: int,
                   window_bp: int = 1_000_000,
                   fetch: str = "i16tri") -> List[Dict]:
@@ -638,25 +656,22 @@ class PreparedRun:
         statistics noise at 33k subjects; the mode is recorded under
         "fetch" in each dict.  Pass fetch="f32" for full-precision
         fetches; the per-call compute_ld API stays float64 exact."""
+        if self.wgts is None:
+            # computeLD is the ancestry-WEIGHTED estimator only
+            # (src/computeLD.cpp:26-166 takes pop_wgt_df; there is no
+            # pooled variant in the reference) -- same contract as
+            # ld_window
+            raise ValueError("ld_region requires population weights "
+                             "(prepare_mix)")
         t = self.table
-        bp = t["bp"].to_numpy()
-        typ = t["type"].to_numpy()
         mesh = self.engine.mesh
         if mesh is not None:
             return self._ld_region_mesh(start_bp, end_bp, window_bp,
                                         fetch=fetch)
-        windows = []
-        pos = start_bp
-        while pos <= end_bp:
-            hi = min(pos + window_bp - 1, end_bp)
-            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
-            if len(m_rows):
-                windows.append(m_rows)
-            pos = hi + 1
+        windows = self._ld_windows(start_bp, end_bp, window_bp)
         if not windows:
             return []
         if (self.engine._use_resident(self.wgts)
-                and self.wgts is not None   # pooled LD has no resident
                 and os.environ.get("GAUSS_LD_RESIDENT") != "0"):
             # DEFAULT (r5): one-dispatch resident LD -- 0.08 s device
             # for a 43-window region vs 43 x ~33 ms gather round trips;
@@ -736,17 +751,7 @@ class PreparedRun:
         packed triangles, not compute, binds wall-clock LD throughput
         on tunneled transports).  Returns (seconds, n_windows)."""
         import time as _time
-        t = self.table
-        bp = t["bp"].to_numpy()
-        typ = t["type"].to_numpy()
-        windows = []
-        pos = start_bp
-        while pos <= end_bp:
-            hi = min(pos + window_bp - 1, end_bp)
-            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
-            if len(m_rows):
-                windows.append(m_rows)
-            pos = hi + 1
+        windows = self._ld_windows(start_bp, end_bp, window_bp)
         if not windows:
             return None, 0
         fn, args, *_ = self._ld_resident_parts(windows, fetch)
@@ -830,16 +835,7 @@ class PreparedRun:
         """Mesh variant of ld_region: all windows padded to one Mp and
         computed in a single dispatch split over the window axis."""
         t = self.table
-        bp = t["bp"].to_numpy()
-        typ = t["type"].to_numpy()
-        windows = []
-        pos = start_bp
-        while pos <= end_bp:
-            hi = min(pos + window_bp - 1, end_bp)
-            m_rows = np.flatnonzero((typ == 1) & (bp >= pos) & (bp <= hi))
-            if len(m_rows):
-                windows.append(m_rows)
-            pos = hi + 1
+        windows = self._ld_windows(start_bp, end_bp, window_bp)
         if not windows:
             return []
         n_win = self.engine.mesh.shape["window"]
@@ -877,9 +873,11 @@ class PreparedRun:
                     wing_size: int = 500_000) -> pd.DataFrame:
         """QCAT causality tests over consecutive windows as ONE device
         dispatch (qcatmix semantics when prepared with weights, qcat
-        otherwise; reference src/qcat.cpp:134-262).  Note the reference
-        qcat/qcatmix default af1_cutoff is 0.05 -- pass it to
-        prepare_mix/prepare_homog."""
+        otherwise; reference src/qcat.cpp:134-262).  NOTE the reference
+        defaults differ: qcat's af1_cutoff is 0.05
+        (src/qcat.cpp:52-56) but qcatmix's is 0.01
+        (src/qcatmix.cpp:61-64) -- pass the matching value to
+        prepare_homog / prepare_mix."""
         spans = []
         lo = start_bp
         while lo <= end_bp:
@@ -1086,6 +1084,19 @@ class PreparedRun:
             return hit
         out = self._region_batch_build(start_bp, end_bp, window_bp,
                                        wing_size)
+        # the aligned layout gives each batch DEDICATED device panels
+        # (up to several GB); keep only the newest such batch so a
+        # genome-scale sweep over distinct spans does not accumulate
+        # one panel per region in HBM (repeat calls on one span --
+        # the bench / resumed runs -- still hit the cache above)
+        if out is not None and len(out[1]) == 7:    # aligned: has wi/ci
+            for k in [k for k in self._res
+                      if isinstance(k, tuple) and k[0] == "batch"
+                      and k[1] != ck]:
+                old = self._res[k]
+                if old is not None and len(old[1]) == 7:
+                    del self._res[k]
+                    self._res.pop(("asm", k[1]), None)
         self._res[("batch", ck)] = out
         return out
 
@@ -1282,7 +1293,10 @@ class PreparedRun:
 
         Wp = int(inputs[0].shape[0])
         Ws = Wp if slope_windows is None else min(slope_windows, Wp)
-        sub = inputs if Ws == Wp else tuple(a[:Ws] for a in inputs)
+        # sub-batch slicing: the [N]-length wi/ci compaction vectors do
+        # NOT slice by window count -- drop them (the 12-arg form
+        # returns the uncompacted [2, W, Up] output, fine for timing)
+        sub = inputs if Ws == Wp else tuple(a[:Ws] for a in inputs[:5])
         n_panel = len(panel)
 
         @jax.jit
@@ -1387,12 +1401,12 @@ class PreparedRun:
         from collections import deque
         pending: deque = deque()
         for span in spans:
+            if len(pending) >= depth:   # cap in-flight handles at depth
+                lo0, hi0, h = pending.popleft()
+                yield lo0, hi0, h.result()
             lo, hi = span
             pending.append((lo, hi, self.impute_region_async(
                 lo, hi, window_bp, wing_size)))
-            if len(pending) >= depth + 1:
-                lo0, hi0, h = pending.popleft()
-                yield lo0, hi0, h.result()
         while pending:
             lo0, hi0, h = pending.popleft()
             yield lo0, hi0, h.result()

@@ -313,6 +313,7 @@ class GenomeRunner:
                     self._prefetch[nxt.key] = executor.submit(
                         self._decode_chunk_store, nxt)
             t0 = time.time()
+            h = None
             try:
                 with self.tracer.phase("chunk", key=cs.key):
                     run = self._prepared(cs)
@@ -322,11 +323,7 @@ class GenomeRunner:
                             cs.start_bp, cs.end_bp,
                             window_bp=self.window_bp,
                             wing_size=self.wing_size)
-                        prev, pending = pending, (cs, t0, h)
-                        if prev is not None:
-                            finish(prev)
-                        continue
-                    if self.analysis == "impute":
+                    elif self.analysis == "impute":
                         df = run.impute_region(cs.start_bp, cs.end_bp,
                                                window_bp=self.window_bp,
                                                wing_size=self.wing_size)
@@ -340,8 +337,9 @@ class GenomeRunner:
                         blocks = run.ld_region(cs.start_bp, cs.end_bp,
                                                window_bp=self.window_bp)
                         df = self._save_ld_blocks(cs, blocks)
-                self._record_done(cs, df)
-                stats["done"] += 1
+                if h is None:
+                    self._record_done(cs, df)
+                    stats["done"] += 1
             except KeyboardInterrupt:
                 raise
             except Exception as e:  # failure tolerance: record + continue
@@ -352,6 +350,15 @@ class GenomeRunner:
                     cs.elapsed = time.time() - t0
                     self._save_manifest()
                     raise
+            if h is not None:
+                # the previous chunk's fetch runs OUTSIDE this chunk's
+                # try: a finish() failure (incl. a max_failures
+                # re-raise) is attributed to ITS chunk, never recorded
+                # against the one just dispatched
+                prev, pending = pending, (cs, t0, h)
+                if prev is not None:
+                    finish(prev)
+                continue
             cs.elapsed = time.time() - t0
             self._save_manifest()
         if pending is not None:

@@ -355,3 +355,49 @@ def test_jepeg_runner_on_mesh(tmp_path, setup, synpanel):
     np.testing.assert_allclose(df_m["chisq"].to_numpy(),
                                df_1["chisq"].to_numpy(),
                                rtol=1e-12, atol=1e-12)
+
+
+def test_fetch_failure_attributed_to_its_chunk(tmp_path, setup,
+                                               monkeypatch):
+    """Pipelined impute: a failure surfacing at FETCH time (the
+    in-flight handle's result()) must be recorded against the chunk
+    that was dispatched, not the one whose dispatch triggered the
+    fetch; with max_failures it re-raises without mislabeling."""
+    from gauss_tpu.models.genome import RegionHandle
+
+    d = tmp_path / "run_fetchfail"
+    r = _runner(d, setup)
+    r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
+
+    real = GenomeRunner._prepared
+    calls = {"n": 0}
+
+    class _BoomHandle:
+        def result(self):
+            raise RuntimeError("injected fetch failure")
+
+    def flaky(self, cs=None):
+        run = real(self, cs)
+        orig = run.impute_region_async
+
+        def wrapped(start_bp, end_bp, **kw):
+            calls["n"] += 1
+            if calls["n"] == 1 and not calls.get("healed"):
+                calls["healed"] = True
+                return _BoomHandle()
+            return orig(start_bp, end_bp, **kw)
+
+        run.impute_region_async = wrapped
+        return run
+
+    monkeypatch.setattr(GenomeRunner, "_prepared", flaky)
+    stats = r.run()
+    assert stats["failed"] == 1
+    failed = [c for c in r.chunks.values() if c.status == "failed"]
+    assert len(failed) == 1
+    # the FIRST chunk (whose handle failed) carries the error
+    assert failed[0].start_bp == 1_000_000
+    assert "injected fetch failure" in failed[0].error
+    # every other chunk completed normally
+    assert sum(c.status == "done" for c in r.chunks.values()) \
+        == len(r.chunks) - 1
