@@ -564,3 +564,60 @@ def test_aligned_fallback_matches(store, synpanel, gwas_input, monkeypatch):
     np.testing.assert_allclose(df_a["z"].to_numpy()[imp],
                                df_s["z"].to_numpy()[imp],
                                rtol=2e-4, atol=1e-4)
+
+
+def test_impute_regions_pipelined_matches_sequential(store, synpanel,
+                                                     gwas_input):
+    """The pipelined region generator (impute_regions, depth 2) yields
+    exactly what sequential impute_region calls produce, in span
+    order."""
+    from gauss_tpu.io import readers
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    mid = (lo + hi) // 2
+    wing = (hi - lo) // 6
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=wing)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True)
+    run = eng.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    spans = [(lo, mid), (mid + 1, hi)]
+    kw = dict(window_bp=(hi - lo) // 4 + 1, wing_size=wing)
+    piped = list(run.impute_regions(spans, **kw))
+    assert [(a, b) for a, b, _ in piped] == spans
+    for (s0, s1), (_, _, df) in zip(spans, piped):
+        ref = run.impute_region(s0, s1, **kw)
+        assert df.equals(ref), (s0, s1)
+
+
+def test_aligned_batch_cache_evicts_older_spans(store, synpanel,
+                                                gwas_input):
+    """Aligned-layout batches carry dedicated device panels; only the
+    newest span's batch may stay cached (HBM leak guard), while
+    repeated calls on one span still hit the cache."""
+    from gauss_tpu.io import readers
+    path, _ = gwas_input
+    bp = synpanel.index_df["bp"]
+    lo, hi = int(bp.min()), int(bp.max())
+    mid = (lo + hi) // 2
+    wing = (hi - lo) // 6
+    inp = readers.read_input_z(path, chrom=22, start_bp=lo, end_bp=hi,
+                               wing_size=wing)
+    pop_wgt = dict(zip(POP_WGT["pop"], POP_WGT["wgt"]))
+    eng = GenomeEngine(store, snp_bucket=64, device_linalg=True,
+                       region_mode="resident")
+    run = eng.prepare_mix(inp, pop_wgt, af1_cutoff=0.01)
+    kw = dict(window_bp=(hi - lo) // 4 + 1, wing_size=wing)
+    run.impute_region(lo, mid, **kw)
+    b1 = run._res.get(("batch", (lo, mid) + tuple(kw.values())))
+    assert b1 is not None and len(b1[1]) == 7     # aligned batch cached
+    run.impute_region(mid + 1, hi, **kw)
+    # older span evicted, newest kept
+    assert ("batch", (lo, mid) + tuple(kw.values())) not in run._res
+    b2key = ("batch", (mid + 1, hi) + tuple(kw.values()))
+    b2 = run._res.get(b2key)
+    assert b2 is not None
+    # same-span repeat still hits the cache (same object, no rebuild)
+    run.impute_region(mid + 1, hi, **kw)
+    assert run._res.get(b2key) is b2
