@@ -108,8 +108,9 @@ def main():
 
     # HEADLINE: pipelined steady state -- the production genome-run
     # pattern (impute_regions keeps 2 regions in flight, so region N's
-    # fetch + frame assembly overlap region N+1's device compute)
-    N_PIPE = 5
+    # fetch + frame assembly overlap region N+1's device compute).
+    # 8 passes amortize the pipeline fill/drain edges into the mean.
+    N_PIPE = 8
     t = time.time()
     prev = None
     for _ in range(N_PIPE):
