@@ -1088,13 +1088,20 @@ class PreparedRun:
         # (up to several GB); keep only the newest such batch so a
         # genome-scale sweep over distinct spans does not accumulate
         # one panel per region in HBM (repeat calls on one span --
-        # the bench / resumed runs -- still hit the cache above)
-        if out is not None and len(out[1]) == 7:    # aligned: has wi/ci
+        # the bench / resumed runs -- still hit the cache above).
+        # Aligned batches are the resident ones (7 inputs incl. wi/ci)
+        # whose arrays tuple is NOT the shared self._res["arrays"];
+        # the shared-fallback batch may also fail the identity test
+        # after a cap-growing rebuild -- evicting it too costs only a
+        # host-side plan rebuild, never device memory.
+        def _aligned(b):
+            return (b is not None and len(b[1]) == 7
+                    and b[2] is not self._res.get("arrays"))
+        if _aligned(out):
             for k in [k for k in self._res
                       if isinstance(k, tuple) and k[0] == "batch"
                       and k[1] != ck]:
-                old = self._res[k]
-                if old is not None and len(old[1]) == 7:
+                if _aligned(self._res[k]):
                     del self._res[k]
                     self._res.pop(("asm", k[1]), None)
         self._res[("batch", ck)] = out
@@ -1186,10 +1193,13 @@ class PreparedRun:
             R = ROW_TILE * x_block_tiles()
             Mp_a = _round_up(max(p[2][2] for p in plans), R)
             Up_a = _round_up(max(p[2][3] for p in plans), R)
-            n_rows = len(plans) * (Mp_a + Up_a)
-            max_rows = int(os.environ.get("GAUSS_ALIGNED_MAX_ROWS",
-                                          200_000))
-            if n_rows <= max_rows:
+            # cap by BYTES (rows x padded subject axis), not rows: the
+            # footprint scales with the panel's subject width too
+            S_pad = int(sum(self.engine._padded_sizes(self.pop_sizes)))
+            n_bytes = len(plans) * (Mp_a + Up_a) * S_pad
+            max_bytes = int(os.environ.get("GAUSS_ALIGNED_MAX_BYTES",
+                                           9_000_000_000))
+            if n_bytes <= max_bytes:
                 plans_out, inputs, arrays, Mp, Up = \
                     self._resident_aligned_batch(plans, zcol)
             else:
@@ -1399,6 +1409,7 @@ class PreparedRun:
         region N's host fetch/assembly runs while region N+1 computes
         on the device."""
         from collections import deque
+        depth = max(int(depth), 1)      # depth<1 degrades to sequential
         pending: deque = deque()
         for span in spans:
             if len(pending) >= depth:   # cap in-flight handles at depth

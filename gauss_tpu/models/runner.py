@@ -343,6 +343,11 @@ class GenomeRunner:
             except KeyboardInterrupt:
                 raise
             except Exception as e:  # failure tolerance: record + continue
+                # the chunk is now FAILED even if its dispatch had
+                # already produced a handle (e.g. the tracer phase
+                # raised afterwards): drop the handle so the finish()
+                # path cannot re-record it as done
+                h = None
                 self._record_fail(cs, e)
                 stats["failed"] += 1
                 if (max_failures is not None

@@ -78,8 +78,8 @@ def main():
     t0 = time.time()
     af = engine.afmix(readers.read_input_af(af_path))
     w_true = dict(zip(truth["pop"], truth["wgt"]))
-    err = max(abs(w_true.get(p, 0.0) - w)
-              for p, w in zip(af["pop"], af["wgt"]))
+    est = dict(zip(af["pop"], af["wgt"]))
+    err = max(abs(w - est.get(p, 0.0)) for p, w in w_true.items())
     log(f"afmix: {len(af)} pops in {time.time()-t0:.1f}s, "
         f"max|w-true| = {err:.3f}")
     assert err < 0.1

@@ -538,7 +538,7 @@ def test_resident_ld_region_matches_gather(store, synpanel, gwas_input):
 
 def test_aligned_fallback_matches(store, synpanel, gwas_input, monkeypatch):
     """Very long regions fall back from the per-window aligned resident
-    layout to the shared bp-sorted layout (GAUSS_ALIGNED_MAX_ROWS cap);
+    layout to the shared bp-sorted layout (GAUSS_ALIGNED_MAX_BYTES cap);
     both must impute identically up to f32 solve noise."""
     from gauss_tpu.io import readers
     path, _ = gwas_input
@@ -556,7 +556,7 @@ def test_aligned_fallback_matches(store, synpanel, gwas_input, monkeypatch):
         return eng.prepare_mix(inp, pop_wgt).impute_region(lo, hi, **kw)
 
     df_a = run_once()
-    monkeypatch.setenv("GAUSS_ALIGNED_MAX_ROWS", "1")
+    monkeypatch.setenv("GAUSS_ALIGNED_MAX_BYTES", "1")
     df_s = run_once()
     assert len(df_a) == len(df_s) > 0
     imp = df_a["type"].to_numpy() == 0

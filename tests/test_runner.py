@@ -363,8 +363,6 @@ def test_fetch_failure_attributed_to_its_chunk(tmp_path, setup,
     in-flight handle's result()) must be recorded against the chunk
     that was dispatched, not the one whose dispatch triggered the
     fetch; with max_failures it re-raises without mislabeling."""
-    from gauss_tpu.models.genome import RegionHandle
-
     d = tmp_path / "run_fetchfail"
     r = _runner(d, setup)
     r.plan(chrom=22, start_bp=1_000_000, end_bp=2_800_000)
